@@ -1,0 +1,211 @@
+"""Host-side data pipeline producing fixed-shape padded batches.
+
+Replaces the reference's ``dataset/dataloader.py`` (``ImagecapDataset:9``,
+``ImagecapDatasetFromFeature:63``).  TPU-first differences:
+
+- every batch is a fixed-shape NumPy struct (static shapes for XLA; the
+  reference pads captions already, we additionally fix the batch dimension by
+  dropping the trailing partial batch in training and padding+masking in eval),
+- images are decoded/normalized on host into float32 NCHW->NHWC arrays,
+- train items are one per (image, caption) pair with all reference captions
+  attached (dataloader.py:33-44); val/test items are one per image
+  (dataloader.py:46-58).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from .vocab import WordMap, build_word_map, encode_caption
+
+# ImageNet normalization used by every reference transform (train.py:21-22).
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def normalize_image(img_uint8: np.ndarray) -> np.ndarray:
+    """uint8 HWC [0,255] -> float32 HWC normalized."""
+    x = img_uint8.astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def load_image(path: str, height: int, width: int) -> np.ndarray:
+    """Decode + resize + normalize one image to float32 (H, W, 3)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((width, height))
+        arr = np.asarray(im, dtype=np.uint8)
+    return normalize_image(arr)
+
+
+@dataclass
+class CaptionBatch:
+    """Fixed-shape training batch."""
+
+    images: np.ndarray  # (B, H, W, 3) float32, or (B, 36, 2048) for BU features
+    captions: np.ndarray  # (B, L) int32 — <start> w... <end> <pad>*
+    all_captions: np.ndarray  # (B, C, L) int32 — every reference caption
+    caption_lengths: np.ndarray  # (B,) int32
+
+
+@dataclass
+class EvalBatch:
+    """Per-image eval batch (reference val/test protocol, batch of images)."""
+
+    images: np.ndarray  # (B, H, W, 3) or (B, 36, 2048)
+    all_captions: np.ndarray  # (B, C, L) int32
+    caption_lengths: np.ndarray  # (B, C) int32
+    filenames: list[str]
+    valid: np.ndarray  # (B,) bool — False rows are padding
+
+
+class CaptionDataset:
+    """Reads the per-split JSON item lists written by :mod:`prepare` (same
+    schema as the reference artifacts) and yields fixed-shape batches."""
+
+    def __init__(
+        self,
+        items: list[dict],
+        split: str,
+        *,
+        height: int = 224,
+        width: int = 224,
+        from_features: bool = False,
+        feature_key: str = "image_features",
+        num_regions: int = 36,
+        feat_dim: int = 2048,
+        seed: int = 0,
+    ):
+        self.items = items
+        self.split = split
+        self.height, self.width = height, width
+        self.from_features = from_features
+        self.feature_key = feature_key
+        self.num_regions = num_regions
+        self.feat_dim = feat_dim
+        self.rng = np.random.default_rng(seed)
+
+    @classmethod
+    def from_json(cls, json_path: str, split: str, **kw) -> "CaptionDataset":
+        with open(json_path) as f:
+            items = json.load(f)
+        return cls(items, split, **kw)
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def _load_visual(self, item: dict) -> np.ndarray:
+        path = item["image_path"]
+        if self.from_features:
+            # BU path: per-image HDF5 with (<=36, 2048) region features,
+            # zero-padded to 36 rows (dataloader.py:80-96).
+            import h5py
+
+            feat_path = item.get("feature_path", os.path.splitext(path)[0] + ".hdf5")
+            with h5py.File(feat_path, "r") as f:
+                feats = np.asarray(f[self.feature_key], dtype=np.float32)
+            out = np.zeros((self.num_regions, self.feat_dim), dtype=np.float32)
+            out[: min(len(feats), self.num_regions)] = feats[: self.num_regions]
+            return out
+        if "image_array" in item:  # toy/in-memory datasets
+            return np.asarray(item["image_array"], dtype=np.float32)
+        return load_image(path, self.height, self.width)
+
+    def train_batches(
+        self, batch_size: int, *, shuffle: bool = True, drop_remainder: bool = True
+    ) -> Iterator[CaptionBatch]:
+        order = np.arange(len(self.items))
+        if shuffle:
+            self.rng.shuffle(order)
+        n_full = len(order) // batch_size if drop_remainder else -(-len(order) // batch_size)
+        for b in range(n_full):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            items = [self.items[i] for i in idx]
+            images = np.stack([self._load_visual(it) for it in items])
+            captions = np.asarray([it["encoded_cap"] for it in items], dtype=np.int32)
+            all_caps = np.asarray(
+                [it["encoded_all_caps"] for it in items], dtype=np.int32
+            )
+            caplens = np.asarray([it["caption_len"] for it in items], dtype=np.int32)
+            yield CaptionBatch(images, captions, all_caps, caplens)
+
+    def eval_batches(self, batch_size: int = 1) -> Iterator[EvalBatch]:
+        for b in range(-(-len(self.items) // batch_size)):
+            items = self.items[b * batch_size : (b + 1) * batch_size]
+            pad = batch_size - len(items)
+            images = np.stack([self._load_visual(it) for it in items])
+            all_caps = np.asarray(
+                [it["encoded_all_caps"] for it in items], dtype=np.int32
+            )
+            caplens = np.asarray([it["caption_len"] for it in items], dtype=np.int32)
+            filenames = [os.path.basename(it["image_path"]) for it in items]
+            valid = np.ones(batch_size, dtype=bool)
+            if pad:
+                images = np.concatenate([images, np.zeros_like(images[:1]).repeat(pad, 0)])
+                all_caps = np.concatenate([all_caps, np.zeros_like(all_caps[:1]).repeat(pad, 0)])
+                caplens = np.concatenate([caplens, np.ones_like(caplens[:1]).repeat(pad, 0)])
+                valid[len(items):] = False
+                filenames += [""] * pad
+            yield EvalBatch(images, all_caps, caplens, filenames, valid)
+
+
+def toy_dataset(
+    *,
+    num_images: int = 8,
+    captions_per_image: int = 5,
+    max_len: int = 16,
+    height: int = 64,
+    width: int = 64,
+    vocab_words: int = 40,
+    seed: int = 0,
+    from_features: bool = False,
+    num_regions: int = 36,
+    feat_dim: int = 2048,
+) -> tuple[CaptionDataset, CaptionDataset, WordMap]:
+    """Deterministic synthetic dataset for tests and benchmarks (SURVEY.md §4c).
+
+    Returns (train_ds, val_ds, word_map)."""
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(vocab_words)]
+    raw_caps = []
+    for _ in range(num_images):
+        caps = []
+        for _ in range(captions_per_image):
+            n = int(rng.integers(3, max_len))
+            caps.append([words[int(j)] for j in rng.integers(0, vocab_words, n)])
+        raw_caps.append(caps)
+    word_map = build_word_map((c for caps in raw_caps for c in caps), min_word_freq=1)
+
+    train_items, val_items = [], []
+    for i in range(num_images):
+        if from_features:
+            visual = rng.normal(size=(num_regions, feat_dim)).astype(np.float32)
+        else:
+            visual = rng.normal(size=(height, width, 3)).astype(np.float32)
+        encs, lens = zip(
+            *(encode_caption(c, word_map, max_len) for c in raw_caps[i])
+        )
+        base = {
+            "image_path": f"toy_{i}.jpg",
+            "image_array": visual,
+            "encoded_all_caps": [list(e) for e in encs],
+        }
+        for e, ln in zip(encs, lens):
+            train_items.append({**base, "encoded_cap": list(e), "caption_len": int(ln)})
+        val_items.append({**base, "caption_len": [int(l) for l in lens]})
+
+    kw = dict(
+        height=height, width=width, from_features=False,
+        num_regions=num_regions, feat_dim=feat_dim, seed=seed,
+    )
+    return (
+        CaptionDataset(train_items, "train", **kw),
+        CaptionDataset(val_items, "val", **kw),
+        word_map,
+    )
