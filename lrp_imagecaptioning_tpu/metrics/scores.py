@@ -1,0 +1,115 @@
+"""Score adapter classes with the reference API (``models/metrics.py:10-89``).
+
+``Score.calculate(id_to_prediction, id_to_references)`` takes dicts of
+``{id: [{'caption': str}, ...]}``, PTB-tokenizes both sides (pure Python —
+no Java subprocess) and returns ``{name: value}``.  BLEU expands to
+``bleu_1..bleu_4`` like the reference adapter (metrics.py:33-48).
+
+SPICE requires scene-graph parsing (Java, reference vendored a jar); we degrade
+to 0.0 with a warning exactly like the reference's METEOR fallback
+(metrics.py:62-67).  BERT uses ``bert_score`` if installed, else 0.0.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from .bleu import corpus_bleu
+from .cider import cider_score
+from .meteor import meteor_score
+from .rouge import rouge_l
+from .tokenizer import ptb_tokenize
+
+
+def _paired_lists(id_to_prediction: dict, id_to_references: dict):
+    keys = list(id_to_prediction.keys())
+    hyps = []
+    refs = []
+    for k in keys:
+        preds = id_to_prediction[k]
+        assert len(preds) == 1, "one hypothesis per id (cider.py:43 invariant)"
+        hyps.append(preds[0])
+        refs.append(list(id_to_references[k]))
+    return hyps, refs
+
+
+class Score:
+    def __init__(self, score_name: str):
+        self._score_name = score_name
+
+    def _compute(self, hyps: list[str], refs: list[list[str]]):
+        raise NotImplementedError
+
+    def calculate(self, id_to_prediction: dict, id_to_references: dict) -> dict:
+        preds = ptb_tokenize(id_to_prediction)
+        refs = ptb_tokenize(id_to_references)
+        hyps, refls = _paired_lists(preds, refs)
+        avg = self._compute(hyps, refls)
+        return {self._score_name: avg}
+
+
+class BLEU(Score):
+    def __init__(self, n: int = 4):
+        super().__init__("bleu")
+        self._n = n
+
+    def calculate(self, id_to_prediction: dict, id_to_references: dict) -> dict:
+        preds = ptb_tokenize(id_to_prediction)
+        refs = ptb_tokenize(id_to_references)
+        hyps, refls = _paired_lists(preds, refs)
+        bleus, _ = corpus_bleu(hyps, refls, n=self._n)
+        return {f"bleu_{i}": float(b) for i, b in enumerate(bleus, start=1)}
+
+
+class CIDEr(Score):
+    def __init__(self):
+        super().__init__("cider")
+
+    def _compute(self, hyps, refs):
+        avg, _ = cider_score(hyps, refs)
+        return float(avg)
+
+
+class ROUGE(Score):
+    def __init__(self):
+        super().__init__("rouge")
+
+    def _compute(self, hyps, refs):
+        avg, _ = rouge_l(hyps, refs)
+        return float(avg)
+
+
+class METEOR(Score):
+    def __init__(self):
+        super().__init__("meteor")
+
+    def _compute(self, hyps, refs):
+        avg, _ = meteor_score(hyps, refs)
+        return float(avg)
+
+
+class SPICE(Score):
+    def __init__(self):
+        super().__init__("spice")
+
+    def _compute(self, hyps, refs):
+        warnings.warn(
+            "SPICE needs Java scene-graph parsing; returning 0.0 "
+            "(same graceful degradation as the reference METEOR fallback)."
+        )
+        return 0.0
+
+
+class BERT(Score):
+    def __init__(self):
+        super().__init__("bert")
+
+    def _compute(self, hyps, refs):
+        try:
+            from bert_score import score as bert_score_fn  # type: ignore
+        except ImportError:
+            warnings.warn("bert_score not installed; returning 0.0")
+            return 0.0
+        flat_refs = [r for r in refs]
+        _, _, f1 = bert_score_fn(hyps, flat_refs, lang="en")
+        return float(f1.mean())
