@@ -27,6 +27,10 @@ class ModelConfig:
     width: int = 224
     num_pixels: int = 196  # 14x14 grid for CNN path, 36 for bottom-up
     bu_feat_dim: int = 2048  # bottom-up region feature dim
+    # Pad the vocab-sized params (embedding rows, fc columns) to a multiple —
+    # keeps the big matmul MXU-tileable and makes the vocab dim divisible by
+    # the model-parallel axis.  Padded logit columns are masked to -1e9.
+    vocab_pad_multiple: int = 1
     dropout_rate: float = 0.5
     # compute dtype for the CNN/matmul-heavy forward path; relevance math is
     # always float32 (SURVEY.md §7 hard-parts: fp32 discipline for LRP).
@@ -35,6 +39,11 @@ class ModelConfig:
     @property
     def is_bu(self) -> bool:
         return self.encoder == "bu" or self.model_type.endswith("_bu")
+
+    @property
+    def padded_vocab(self) -> int:
+        m = max(1, self.vocab_pad_multiple)
+        return -(-self.vocab_size // m) * m
 
 
 @dataclass(frozen=True)

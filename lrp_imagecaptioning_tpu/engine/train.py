@@ -1,0 +1,344 @@
+"""Training engine: pjit-sharded train steps + host epoch loop.
+
+Replaces the reference's four per-epoch train functions and bookkeeping
+(``train.py:113-151,154-286``) with one Trainer that
+
+- jits each mode's update over a ``(data, model)`` mesh (data-parallel grad
+  psum over ICI; optional vocab-dim tensor parallelism for embedding/fc),
+- keeps Adam(0.8, 0.999) with per-group LRs and the elementwise +-grad_clip
+  clamp (train.py:97-109, modelutils.py:102-112),
+- reproduces the plateau schedule: LR * 0.8 when no CIDEr improvement for 2
+  epochs, floored at 2e-5 (train.py:117-118, modelutils.py:147-159),
+- validates with beam search (beam=3) each epoch and checkpoints best-by-CIDEr
+  (train.py:140-151).
+
+SCST split: rollouts run as one jitted program, the CIDEr advantage is
+computed on host (pre-tokenized, pure Python or the C++ scorer), and the
+policy-gradient update re-derives the sampled tokens' logprobs by
+teacher-forcing the sampled sequence — gradients flow through the re-forward,
+which is bitwise-identical to the rollout's logprobs because both run the same
+step function with dropout off.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config import ExperimentConfig
+from ..data.dataset import CaptionDataset
+from ..data.vocab import WordMap, decode_to_words, remove_bad_endings
+from ..metrics import BLEU, CIDEr
+from ..models.captioner import Captioner, CaptionerParams
+from ..parallel import batch_sharding, build_mesh, param_shardings, replicated
+from .losses import cross_entropy_loss, reward_criterion, top1_accuracy
+from .scst import get_self_critical_reward
+
+
+@struct.dataclass
+class TrainState:
+    params: CaptionerParams
+    opt_state: Any
+    step: jax.Array
+
+
+class AverageMeter:
+    """Running average (modelutils.py:10-28)."""
+
+    def __init__(self):
+        self.val = self.sum = self.count = self.avg = 0.0
+
+    def update(self, val: float, n: float = 1.0):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1e-12)
+
+
+def _param_labels(params: CaptionerParams):
+    enc = jax.tree_util.tree_map(lambda _: "encoder", params.encoder)
+    dec = jax.tree_util.tree_map(lambda _: "decoder", params.decoder)
+    return CaptionerParams(enc, dec)
+
+
+class Trainer:
+    def __init__(
+        self,
+        exp: ExperimentConfig,
+        word_map: WordMap,
+        *,
+        mesh=None,
+        captioner: Captioner | None = None,
+    ):
+        if exp.model.vocab_size == 0:
+            import dataclasses
+
+            exp = exp.replace(
+                model=dataclasses.replace(exp.model, vocab_size=len(word_map))
+            )
+        self.exp = exp
+        self.cfg = exp.model
+        self.tcfg = exp.train
+        self.word_map = word_map
+        self.captioner = captioner or Captioner(self.cfg)
+        self.mesh = mesh if mesh is not None else build_mesh(exp.mesh)
+        self.pad_id = word_map.pad
+        self._build_optimizer()
+        self._compiled: dict[str, Callable] = {}
+
+    # ------------------------------------------------------------------
+    def _build_optimizer(self):
+        t = self.tcfg
+        labels = None  # resolved lazily from params
+
+        def build(decoder_lr, encoder_lr):
+            dec = optax.chain(
+                optax.clip(t.grad_clip),
+                optax.adam(decoder_lr, b1=t.adam_b1, b2=t.adam_b2),
+            )
+            if t.finetune_encoder:
+                enc = optax.chain(
+                    optax.clip(t.grad_clip),
+                    optax.adam(encoder_lr, b1=t.adam_b1, b2=t.adam_b2),
+                )
+            else:
+                enc = optax.set_to_zero()  # frozen CNN (train.py:102-104)
+            return optax.multi_transform(
+                {"decoder": dec, "encoder": enc}, _param_labels
+            )
+
+        self.tx = optax.inject_hyperparams(build)(
+            decoder_lr=t.decoder_lr, encoder_lr=t.encoder_lr
+        )
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        params = self.captioner.init(rng)
+        # place params according to the mesh sharding layout
+        shardings = param_shardings(params, self.mesh, self.exp.mesh)
+        params = jax.tree_util.tree_map(jax.device_put, params, shardings)
+        opt_state = self.tx.init(params)
+        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+    # -- learning-rate plateau decay -----------------------------------
+    def decay_lr(self, state: TrainState) -> TrainState:
+        t = self.tcfg
+        hp = dict(state.opt_state.hyperparams)
+        for k in ("decoder_lr", "encoder_lr"):
+            lr = hp[k]
+            hp[k] = jnp.where(lr > t.lr_floor, lr * t.lr_shrink_factor, lr)
+        return state.replace(opt_state=state.opt_state._replace(hyperparams=hp))
+
+    def current_lr(self, state: TrainState) -> float:
+        return float(state.opt_state.hyperparams["decoder_lr"])
+
+    # ------------------------------------------------------------------
+    def _jit(self, name: str, fn: Callable, **kw) -> Callable:
+        if name not in self._compiled:
+            self._compiled[name] = jax.jit(fn, **kw)
+        return self._compiled[name]
+
+    # -- XE mode --------------------------------------------------------
+    def xe_step(self, state: TrainState, images, captions, rng):
+        def loss_fn(params):
+            feats = self.captioner.encode(
+                params, images,
+                stop_encoder_gradient=not self.tcfg.finetune_encoder,
+            )
+            num_steps = captions.shape[1] - 1
+            logits, _, _ = self.captioner.forward(
+                params, feats, captions, num_steps=num_steps,
+                ss_prob=self.tcfg.ss_prob, rng=rng, train=True,
+            )
+            targets = captions[:, 1:]
+            loss = cross_entropy_loss(logits, targets, self.pad_id)
+            acc = top1_accuracy(logits, targets, self.pad_id)
+            return loss, acc
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             step=state.step + 1), loss, acc
+
+    def compiled_xe_step(self):
+        bs = batch_sharding(self.mesh, self.exp.mesh)
+        rep = replicated(self.mesh)
+        return self._jit(
+            "xe", self.xe_step,
+            in_shardings=(None, bs, bs, rep), donate_argnums=(0,),
+        )
+
+    # -- SCST mode ------------------------------------------------------
+    def scst_rollout(self, state: TrainState, images, num_steps: int, rng):
+        """Greedy baseline (no grad) + sampled rollout, one program."""
+        feats = self.captioner.encode(state.params, images)
+        greedy = self.captioner.sample(
+            state.params, feats, self.word_map,
+            jax.random.PRNGKey(0), num_steps=num_steps, sample_method="greedy",
+        )
+        sampled = self.captioner.sample(
+            state.params, feats, self.word_map, rng,
+            num_steps=num_steps, sample_method="sample",
+        )
+        return greedy.tokens, sampled.tokens
+
+    def scst_update(self, state: TrainState, images, sampled, reward):
+        """Policy-gradient update: teacher-force the sampled sequence to
+        recover its logprobs with gradients attached."""
+
+        def loss_fn(params):
+            feats = self.captioner.encode(
+                params, images,
+                stop_encoder_gradient=not self.tcfg.finetune_encoder,
+            )
+            b, ts = sampled.shape
+            start_col = jnp.full((b, 1), self.word_map.start, jnp.int32)
+            inputs = jnp.concatenate([start_col, sampled], axis=1)
+            logits, _, _ = self.captioner.forward(
+                params, feats, inputs, num_steps=ts, train=False,
+            )
+            logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            lp = jnp.take_along_axis(logprobs, sampled[..., None], -1)[..., 0]
+            return reward_criterion(lp, sampled, reward)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             step=state.step + 1), loss
+
+    def scst_batch(self, state: TrainState, batch, rng, num_steps: int):
+        """Full SCST step: device rollout -> host CIDEr advantage -> device
+        update (the one host round-trip per step, SURVEY.md §5)."""
+        images = jnp.asarray(batch.images)
+        ro = self._jit("scst_rollout", self.scst_rollout,
+                       static_argnums=(2,))
+        greedy_toks, sampled_toks = ro(state, images, num_steps, rng)
+        reward = get_self_critical_reward(
+            np.asarray(greedy_toks), batch.all_captions, np.asarray(sampled_toks),
+            self.word_map,
+            cider_reward_weight=self.tcfg.cider_reward_weight,
+            bleu_reward_weight=self.tcfg.bleu_reward_weight,
+        )
+        upd = self._jit("scst_update", self.scst_update)
+        state, loss = upd(state, images, sampled_toks, jnp.asarray(reward))
+        return state, float(loss), float(reward[:, 0].mean())
+
+    # -- epoch loops ----------------------------------------------------
+    def train_epoch_xe(self, state: TrainState, ds: CaptionDataset, epoch: int,
+                       rng: jax.Array):
+        step = self.compiled_xe_step()
+        bs = batch_sharding(self.mesh, self.exp.mesh)
+        losses, accs = AverageMeter(), AverageMeter()
+        for i, batch in enumerate(ds.train_batches(self.tcfg.batch_size)):
+            rng, srng = jax.random.split(rng)
+            state, loss, acc = step(
+                state,
+                jax.device_put(jnp.asarray(batch.images), bs),
+                jax.device_put(jnp.asarray(batch.captions), bs),
+                srng,
+            )
+            n = float(batch.caption_lengths.sum())
+            losses.update(float(loss), n)
+            accs.update(float(acc), n)
+            if i % self.tcfg.print_freq == 0:
+                print(f"Epoch: [{epoch}][{i}] Loss {losses.val:.4f} "
+                      f"({losses.avg:.4f}) Top-1 {accs.val:.3f} ({accs.avg:.3f})")
+        return state, losses.avg, rng
+
+    def train_epoch_scst(self, state: TrainState, ds: CaptionDataset, epoch: int,
+                         rng: jax.Array):
+        losses, rewards = AverageMeter(), AverageMeter()
+        num_steps = self.tcfg.max_caption_len - 1
+        for i, batch in enumerate(ds.train_batches(self.tcfg.batch_size)):
+            rng, srng = jax.random.split(rng)
+            state, loss, rew = self.scst_batch(state, batch, srng, num_steps)
+            losses.update(loss)
+            rewards.update(rew)
+            if i % self.tcfg.print_freq == 0:
+                print(f"Epoch: [{epoch}][{i}] Loss {losses.val:.4f} "
+                      f"({losses.avg:.4f}) Reward {rewards.val:.3f} "
+                      f"({rewards.avg:.3f})")
+        return state, losses.avg, rng
+
+    # -- validation -----------------------------------------------------
+    def validate(self, state: TrainState, ds: CaptionDataset, *,
+                 beam_size: int = 3, eval_batch: int = 8,
+                 max_cap_length: int = 20) -> tuple[float, float]:
+        """Beam-search decode the val split, score BLEU-4 + CIDEr
+        (train.py:288-337)."""
+        cap = self.captioner
+
+        def decode_batch(params, images):
+            feats = cap.encode(params, images)
+            return cap.beam_search_batch(
+                params, feats, self.word_map,
+                beam_size=beam_size, max_cap_length=max_cap_length,
+            )
+
+        fn = self._jit("val_decode", decode_batch)
+        hypotheses, references = {}, {}
+        image_id = 0
+        for eb in ds.eval_batches(eval_batch):
+            res = fn(state.params, jnp.asarray(eb.images))
+            toks = np.asarray(res.tokens)
+            lens = np.asarray(res.length)
+            for j in range(len(eb.filenames)):
+                if not eb.valid[j]:
+                    continue
+                words = decode_to_words(toks[j][: lens[j]], self.word_map)
+                sentence = remove_bad_endings([" ".join(words)])[0]
+                hypotheses[image_id] = [{"caption": sentence}]
+                references[image_id] = [
+                    {"caption": " ".join(decode_to_words(r, self.word_map))}
+                    for r in eb.all_captions[j]
+                ]
+                image_id += 1
+        bleu = BLEU().calculate(hypotheses, references)["bleu_4"]
+        cider = CIDEr().calculate(hypotheses, references)["cider"]
+        return float(bleu), float(cider)
+
+    # -- full fit -------------------------------------------------------
+    def fit(self, train_ds: CaptionDataset, val_ds: CaptionDataset, *,
+            epochs: int | None = None, state: TrainState | None = None,
+            validate_beam: int = 3, on_epoch_end: Callable | None = None):
+        t = self.tcfg
+        rng = jax.random.PRNGKey(t.seed)
+        if state is None:
+            rng, init_rng = jax.random.split(rng)
+            state = self.init_state(init_rng)
+        best_cider = 0.0
+        epochs_since_improvement = 0
+        history = []
+        mode = t.mode
+        for epoch in range(epochs if epochs is not None else t.epochs):
+            if epochs_since_improvement >= t.plateau_patience:
+                state = self.decay_lr(state)
+                epochs_since_improvement = 0
+                print(f"DECAYING learning rate -> {self.current_lr(state):.6f}")
+            t0 = time.time()
+            if mode == "xe":
+                state, loss, rng = self.train_epoch_xe(state, train_ds, epoch, rng)
+            elif mode == "cider":
+                state, loss, rng = self.train_epoch_scst(state, train_ds, epoch, rng)
+            else:
+                raise NotImplementedError(f"mode {mode} wired in round >1 slice")
+            bleu, cider = self.validate(state, val_ds, beam_size=validate_beam)
+            is_best = cider > best_cider
+            best_cider = max(cider, best_cider)
+            epochs_since_improvement = 0 if is_best else epochs_since_improvement + 1
+            history.append(dict(epoch=epoch, loss=loss, bleu4=bleu, cider=cider,
+                                seconds=time.time() - t0))
+            print(f"Epoch {epoch}: loss {loss:.4f} BLEU-4 {bleu:.4f} "
+                  f"CIDEr {cider:.4f} ({history[-1]['seconds']:.1f}s)")
+            if on_epoch_end is not None:
+                on_epoch_end(state, epoch, dict(bleu4=bleu, cider=cider,
+                                                is_best=is_best))
+        return state, history

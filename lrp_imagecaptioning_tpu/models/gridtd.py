@@ -81,14 +81,25 @@ class StepAux(NamedTuple):
     beta: jax.Array  # (B, 1)
 
 
+def mask_padded_logits(logits: jax.Array, vocab_size: int) -> jax.Array:
+    """Pin padded vocab columns to -1e9 so decode/CE never select them."""
+    if logits.shape[-1] == vocab_size:
+        return logits
+    ids = jnp.arange(logits.shape[-1])
+    return jnp.where(ids < vocab_size, logits, -1e9)
+
+
 def init_gridtd(rng: jax.Array, cfg: ModelConfig, raw_dim: int) -> GridTDParams:
     e, h = cfg.embed_dim, cfg.hidden_dim
     r = jax.random.split(rng, 6)
-    num_emb = cfg.vocab_size
+    num_emb = cfg.padded_vocab
+    # BU variant projects the *mean of projected regions* (H) to E
+    # (gridTDmodel.py:1880-1881); the CNN path projects the raw avg feature.
+    global_in = h if cfg.is_bu else raw_dim
     return GridTDParams(
         embedding=init_embedding(r[0], num_emb, e),
         img_projector=init_linear(r[1], raw_dim, h),
-        global_img_feature_proj=init_linear(r[2], raw_dim, e),
+        global_img_feature_proj=init_linear(r[2], global_in, e),
         ada_lstm=init_adaptive_lstm_cell(r[3], 2 * e + h, h),
         language_lstm=init_lstm_cell(r[4], 2 * h, h),
         ada_attention=init_adaptive_attention(r[5], h, cfg.num_pixels),
@@ -112,16 +123,18 @@ def encode_features(params: GridTDParams, raw: jax.Array, avg: jax.Array) -> Fea
 
 
 def encode_features_bu(params: GridTDParams, regions: jax.Array) -> Features:
-    """Bottom-up path (GridTDModelBU, gridTDmodel.py:1879-1930): project 36
-    region features; the global feature is the mean of the *projected* regions."""
+    """Bottom-up path (GridTDModelBU.forward, gridTDmodel.py:1913-1917):
+    project 36 region features with a Linear; the global feature is
+    ``relu(W_g(mean of the relu'd projected regions))`` with W_g: H -> E."""
     v_pre = linear(params.img_projector, regions)  # (B, 36, H)
     v = jax.nn.relu(v_pre)
-    g_pre = v.mean(axis=1)  # (B, H); BU uses hidden==embed-width global
+    avg = v.mean(axis=1)  # (B, H)
+    g_pre = linear(params.global_img_feature_proj, avg)  # (B, E)
     return Features(
         v_proj=v,
-        global_feat=g_pre,
+        global_feat=jax.nn.relu(g_pre),
         raw=regions,
-        avg=regions.mean(axis=1),
+        avg=avg,
         v_proj_pre=v_pre,
         global_feat_pre=g_pre,
     )
