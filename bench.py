@@ -2,12 +2,15 @@
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
 
 Headline metric (BASELINE.md north star): captions + full per-word LRP
-explanations per second on TPU, target >= 50/s on a v5e-8 (i.e. 6.25/s/chip).
-Until the LRP engine lands (build plan SURVEY.md §7.6) this measures greedy
-caption decoding throughput on the flagship GridTD+VGG16 model; the metric
-name states exactly what was measured.
+explanations per second.  Target: >= 50/s on a TPU v5e-8, i.e. 6.25/s/chip;
+``vs_baseline`` is measured-throughput / per-chip share of the target.
 
-Usage: python bench.py [--preset smoke|full] [--batch N] [--steps N]
+The measured program is the complete pipeline as ONE XLA computation per
+image batch: VGG16 encode -> beam-2 caption decode -> teacher-forced stash
+forward -> per-word decoder relevance walk (reverse scan, vmapped over words)
+-> CNN alpha-beta/epsilon relevance walk to input pixels.
+
+Usage: python bench.py [--preset smoke|full] [--batch N] [--iters N]
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ def main():
     ap.add_argument("--preset", default="full", choices=["smoke", "full"])
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--iters", type=int, default=0)
-    ap.add_argument("--max-cap-length", type=int, default=20)
+    ap.add_argument("--max-words", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -31,14 +34,16 @@ def main():
 
     from lrp_imagecaptioning_tpu.config import ModelConfig
     from lrp_imagecaptioning_tpu.data.vocab import build_word_map
+    from lrp_imagecaptioning_tpu.explain.explainer import GridTDLrpExplainer
     from lrp_imagecaptioning_tpu.models.captioner import Captioner
 
     smoke = args.preset == "smoke"
-    batch = args.batch or (8 if smoke else 64)
-    iters = args.iters or (2 if smoke else 10)
+    batch = args.batch or (2 if smoke else 8)
+    iters = args.iters or (2 if smoke else 5)
     hw = 64 if smoke else 224
+    max_words = args.max_words or (6 if smoke else 16)
 
-    vocab_words = 200 if smoke else 9582
+    vocab_words = 60 if smoke else 9582
     word_map = build_word_map(
         [[f"w{i}"] for i in range(vocab_words)], min_word_freq=1
     )
@@ -50,37 +55,33 @@ def main():
     )
     cap = Captioner(cfg)
     params = cap.init(jax.random.PRNGKey(0))
+    explainer = GridTDLrpExplainer(cap, params, word_map, max_words=max_words)
+    core = explainer.batched_core()
+
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(size=(batch, hw, hw, 3)).astype(np.float32))
 
-    @jax.jit
-    def caption_batch(params, images):
-        feats = cap.encode(params, images)
-        return cap.greedy(params, feats, word_map,
-                          max_cap_length=args.max_cap_length)
+    def sync(out):
+        # device->host transfer forces completion (block_until_ready does not
+        # synchronize on the remote-tunnel TPU backend)
+        return np.asarray(out[1])
 
-    def sync(x):
-        # NOTE: on the remote-tunnel TPU backend block_until_ready does not
-        # actually synchronize; a device->host transfer does.
-        return np.asarray(x)
-
-    # warmup/compile
-    res = caption_batch(params, images)
-    sync(res.tokens)
+    out = core(params, images)  # compile + warmup
+    sync(out)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = caption_batch(params, images)
-    sync(res.tokens)
+        out = core(params, images)
+    sync(out)
     dt = time.perf_counter() - t0
 
-    captions_per_sec = batch * iters / dt
+    per_sec = batch * iters / dt
     target_per_chip = 50.0 / 8.0  # north-star 50/s on v5e-8
     print(json.dumps({
-        "metric": "greedy_captions_per_sec_per_chip_gridtd_vgg16",
-        "value": round(captions_per_sec, 3),
-        "unit": "captions/s",
-        "vs_baseline": round(captions_per_sec / target_per_chip, 3),
+        "metric": "captions_plus_full_lrp_explanations_per_sec_per_chip",
+        "value": round(per_sec, 3),
+        "unit": "images/s",
+        "vs_baseline": round(per_sec / target_per_chip, 3),
     }))
 
 

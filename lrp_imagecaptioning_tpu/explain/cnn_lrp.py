@@ -1,0 +1,160 @@
+"""CNN-stage LRP: explicit rule interpreter over the encoder layer IR.
+
+Replaces the reference's forward/backward-hook machinery
+(``LRPtools/lrp_wrapper.py:37-87`` + ``LRPtools/lrp_modules.py``) with a walk
+over the explicit VGG IR (``..models.encoders.VGG16_SPEC``):
+
+- Conv2d -> alpha-beta rule with alpha=1, beta=0, ignore_bias=True (the
+  ``SequentialPresetA`` defaults, lrp_wrapper.py:7-12,42-56).  The reference
+  computes it as gradient-of-clamped-weight-forward (PosNetConv + lrp_backward,
+  lrp_modules.py:56-151); here that is one ``jax.vjp`` through
+  ``conv(relu(x), w+) + conv(-relu(-x), w-)`` — same math, XLA-fused,
+- ReLU -> identity rule (lrp_wrapper.py:51-52),
+- MaxPool -> winner-take-all via the gradient trick with ``safe_divide``
+  (lrp_modules.py:172-195, Z_EPSILON = 1e-7),
+- the relevance seed is the decoder walk's ``r_img_feature`` reshaped onto the
+  feature grid; the result is per-pixel input relevance.
+
+Relevance dtype is float32 end to end regardless of the forward compute dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.encoders import ConvParams, VGG16_SPEC, VGGLayer, VGGParams, conv2d, maxpool2x2
+from .rules import safe_divide
+
+
+def conv_alpha_beta(
+    p: ConvParams, x: jax.Array, r_out: jax.Array, *,
+    alpha: float = 1.0, beta: float = 0.0,
+) -> jax.Array:
+    """Alpha-beta rule for a conv layer, ignore_bias=True.
+
+    z+ = conv(x+, w+) + conv(x-, w-) collects the positive contributions;
+    z- = conv(x-, w+) + conv(x+, w-) the negative ones (lrp_modules.py:81-114).
+    R_in = alpha * X * d/dX [z+ . R/z+] - beta * X * d/dX [z- . R/z-]."""
+    x = x.astype(jnp.float32)
+    r_out = r_out.astype(jnp.float32)
+    w_pos = ConvParams(jnp.maximum(p.weight, 0.0).astype(jnp.float32), None)
+    w_neg = ConvParams(jnp.minimum(p.weight, 0.0).astype(jnp.float32), None)
+
+    def pos_forward(xx):
+        return conv2d(w_pos, jnp.maximum(xx, 0.0)) + conv2d(w_neg, jnp.minimum(xx, 0.0))
+
+    def neg_forward(xx):
+        return conv2d(w_pos, jnp.minimum(xx, 0.0)) + conv2d(w_neg, jnp.maximum(xx, 0.0))
+
+    def one_side(fwd):
+        z, vjp = jax.vjp(fwd, x)
+        (grad,) = vjp(safe_divide(r_out, z))
+        return x * grad
+
+    r = alpha * one_side(pos_forward)
+    if beta != 0.0:
+        r = r - beta * one_side(neg_forward)
+    return r
+
+
+def maxpool_winner(x: jax.Array, r_out: jax.Array) -> jax.Array:
+    """Winner-take-all pool rule via the gradient trick (lrp_modules.py:182-195)."""
+    x = x.astype(jnp.float32)
+    z, vjp = jax.vjp(maxpool2x2, x)
+    (grad,) = vjp(safe_divide(r_out.astype(jnp.float32), z))
+    return x * grad
+
+
+def vgg_lrp(
+    params: VGGParams,
+    image: jax.Array,  # (B, H, W, 3)
+    r_feature: jax.Array,  # (B, h, w, C) relevance seeded on the output grid
+    *,
+    spec: tuple[VGGLayer, ...] = VGG16_SPEC,
+) -> jax.Array:
+    """Backward relevance pass through the conv stack; returns (B, H, W, 3).
+
+    Equivalent to the reference's ``model.compute_lrp(img, target=R)``
+    (lrp_wrapper.py:63-87) with hooks replaced by an explicit reversed walk
+    over the layer IR and its stashed inputs."""
+    x = image.astype(jnp.float32)
+    stash: list[jax.Array] = []
+    for layer in spec:
+        stash.append(x)
+        if layer.kind == "conv":
+            x = conv2d(params.convs[layer.param_idx], x)
+        elif layer.kind == "relu":
+            x = jax.nn.relu(x)
+        elif layer.kind == "maxpool":
+            x = maxpool2x2(x)
+
+    r = r_feature.astype(jnp.float32)
+    for layer, x_in in zip(reversed(spec), reversed(stash)):
+        if layer.kind == "conv":
+            r = conv_alpha_beta(params.convs[layer.param_idx], x_in, r)
+        elif layer.kind == "relu":
+            pass  # identity rule (lrp_wrapper.py:51-52)
+        elif layer.kind == "maxpool":
+            r = maxpool_winner(x_in, r)
+    return r
+
+
+def make_vgg_lrp_backward(
+    params: VGGParams,
+    image: jax.Array,  # (1, H, W, 3) — single image
+    *,
+    spec: tuple[VGGLayer, ...] = VGG16_SPEC,
+):
+    """Amortized per-caption CNN LRP: run the forward (and each rule's
+    clamped-weight forward) ONCE, capture the per-layer vjp closures — which
+    are linear in the relevance — and return a backward function to apply per
+    explained word.  Explaining T words then costs T linear backward passes
+    but only one forward stash (the reference re-fires all hooks per word,
+    gridTDmodel.py:1147-1152)."""
+    x = image.astype(jnp.float32)
+    records = []  # (kind, x_in, z_rule, vjp)
+    for layer in spec:
+        if layer.kind == "conv":
+            p = params.convs[layer.param_idx]
+            w_pos = ConvParams(jnp.maximum(p.weight, 0.0).astype(jnp.float32), None)
+            w_neg = ConvParams(jnp.minimum(p.weight, 0.0).astype(jnp.float32), None)
+
+            def pos_forward(xx, w_pos=w_pos, w_neg=w_neg):
+                return conv2d(w_pos, jnp.maximum(xx, 0.0)) + conv2d(
+                    w_neg, jnp.minimum(xx, 0.0)
+                )
+
+            z, vjp = jax.vjp(pos_forward, x)
+            records.append(("conv", x, z, vjp))
+            x = conv2d(p, x)
+        elif layer.kind == "relu":
+            records.append(("relu", x, None, None))
+            x = jax.nn.relu(x)
+        elif layer.kind == "maxpool":
+            z, vjp = jax.vjp(maxpool2x2, x)
+            records.append(("maxpool", x, z, vjp))
+            x = maxpool2x2(x)
+
+    def backward(r_feature: jax.Array) -> jax.Array:
+        r = r_feature.astype(jnp.float32)
+        for kind, x_in, z, vjp in reversed(records):
+            if kind == "relu":
+                continue
+            (grad,) = vjp(safe_divide(r, z))
+            r = x_in * grad
+        return r
+
+    return backward, x  # final feature map as a bonus
+
+
+def vgg_lrp_multi(
+    params: VGGParams,
+    image: jax.Array,  # (1, H, W, 3)
+    r_features: jax.Array,  # (T, h, w, C) one relevance seed per word
+    *,
+    spec: tuple[VGGLayer, ...] = VGG16_SPEC,
+) -> jax.Array:
+    """All per-word CNN relevance maps with one shared forward stash."""
+    backward, _ = make_vgg_lrp_backward(params, image, spec=spec)
+    return jax.vmap(lambda r: backward(r[None])[0])(r_features)

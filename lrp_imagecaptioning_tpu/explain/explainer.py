@@ -1,0 +1,179 @@
+"""End-to-end per-caption explainers — the reference's ``Explain*`` classes
+(gridTDmodel.py:705-1211) rebuilt so the whole per-word image + linguistic
+explanation runs as ONE jitted XLA program per caption:
+
+    beam decode -> stash forward -> vmap(word relevance walk) ->
+    shared-stash CNN relevance -> (T, H, W, 3) heatmaps + (T, T) word scores
+
+The compiled core is fixed-shape (captions padded to ``max_words``); invalid
+word slots are masked on host.  Host-side output (heatmap JPGs + YAML
+linguistic explanations, gridTDmodel.py:1158-1211) is optional and lazy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.vocab import WordMap
+from ..models.captioner import Captioner, CaptionerParams
+from .cnn_lrp import make_vgg_lrp_backward
+from .gridtd_lrp import explain_all_words, stash_forward
+
+
+class CaptionExplanation(NamedTuple):
+    caption: list[str]  # decoded words (explained positions)
+    tokens: np.ndarray  # (L,) encoded caption incl. <start>
+    relevance_images: np.ndarray  # (T, H, W, 3) input-pixel relevance per word
+    relevance_words: np.ndarray  # (T, T) linguistic relevance per word
+    alphas: np.ndarray  # (T, P) attention maps per step
+
+
+class GridTDLrpExplainer:
+    """LRP explainer for GridTD (+VGG16).  EX_TYPE mirrors the reference tag."""
+
+    EX_TYPE = "lrp"
+
+    def __init__(
+        self,
+        captioner: Captioner,
+        params: CaptionerParams,
+        word_map: WordMap,
+        *,
+        beam_size: int = 2,  # reference uses beam=2 for explanation decode
+        max_words: int = 20,
+        language_double_bias_i: bool = True,
+    ):
+        self.cap = captioner
+        self.params = params
+        self.word_map = word_map
+        self.beam_size = beam_size
+        self.max_words = max_words
+        self.quirk = language_double_bias_i
+        self._core = jax.jit(self._explain_core)
+
+    # -- compiled core ---------------------------------------------------
+    def _explain_core(self, params: CaptionerParams, image: jax.Array):
+        """image (1, H, W, 3) -> everything, fixed shapes."""
+        cap, wm = self.cap, self.word_map
+        feats = cap.encode(params, image)
+        beam = cap.beam_search_single(
+            params, feats, wm, beam_size=self.beam_size,
+            max_cap_length=self.max_words,
+        )
+        # input tokens for the stash forward: <start> + decoded words.
+        # beam.tokens[0] is <start>; positions >= beam.length are 0.
+        tokens_in = beam.tokens[: self.max_words]
+        stash = stash_forward(
+            params.decoder, feats, tokens_in,
+            language_double_bias_i=self.quirk,
+        )
+        # explained word at step t is the decoded token t+1
+        targets = jnp.concatenate(
+            [beam.tokens[1 : self.max_words], jnp.zeros((1,), jnp.int32)]
+        )
+        word_exp = explain_all_words(params.decoder, feats, stash, targets=targets,
+                                     bu=self.cap.cfg.is_bu)
+
+        if self.cap.cfg.is_bu:
+            rel_imgs = word_exp.r_img_feature  # (T, P, C) region relevance
+        else:
+            # reshape the raw-grid relevance (T, P, C) onto the feature map and
+            # walk the CNN once per word with a shared forward stash
+            hw = int(np.sqrt(self.cap.cfg.num_pixels))
+            c_raw = self.cap.raw_dim
+            seeds = word_exp.r_img_feature.reshape(self.max_words, hw, hw, c_raw)
+            backward, _ = make_vgg_lrp_backward(params.encoder, image)
+            rel_imgs = jax.vmap(lambda r: backward(r[None])[0])(seeds)
+        return beam.tokens, beam.length, rel_imgs, word_exp.r_words, stash.alpha
+
+    def batched_core(self):
+        """jitted (params, images (B, H, W, 3)) -> per-image explanation
+        arrays — the throughput path: vmap of the full caption+LRP program
+        over an image batch (north-star metric, BASELINE.md)."""
+
+        def f(params, images):
+            return jax.vmap(
+                lambda im: self._explain_core(params, im[None])
+            )(images)
+
+        return jax.jit(f)
+
+    # -- public API ------------------------------------------------------
+    def explain_caption_arrays(self, image: np.ndarray) -> CaptionExplanation:
+        """image: (1, H, W, 3) normalized float32.  Returns host arrays with
+        invalid word positions stripped."""
+        tokens, length, rel_imgs, r_words, alphas = self._core(
+            self.params, jnp.asarray(image)
+        )
+        tokens = np.asarray(tokens)
+        length = int(length)
+        # explained words: positions 1..length-1 of the beam sequence, minus
+        # the trailing <end> if present
+        words_ids = tokens[1:length]
+        t_count = len(words_ids)
+        if t_count and words_ids[-1] == self.word_map.end:
+            t_count -= 1
+        rev = self.word_map.id_to_word
+        caption = [rev.get(int(w), "<unk>") for w in words_ids[:t_count]]
+        return CaptionExplanation(
+            caption=caption,
+            tokens=tokens[: length],
+            relevance_images=np.asarray(rel_imgs)[:t_count],
+            relevance_words=np.asarray(r_words)[:t_count, : t_count + 1],
+            alphas=np.asarray(alphas)[:t_count],
+        )
+
+    def explain_caption(
+        self, img_filepath: str, *, save_path: str | None = None,
+        t_list=None, height: int = 224, width: int = 224,
+    ):
+        """File-based API with heatmap + YAML outputs (reference
+        explain_caption, gridTDmodel.py:1141-1156)."""
+        from ..data.dataset import load_image
+
+        image = load_image(img_filepath, height, width)[None]
+        exp = self.explain_caption_arrays(image)
+        if save_path is not None:
+            self.save_outputs(exp, img_filepath, save_path, t_list=t_list)
+        return exp.relevance_images, exp.relevance_words
+
+    def save_outputs(self, exp: CaptionExplanation, img_filepath: str,
+                     save_path: str, *, t_list=None):
+        """Heatmap grid JPG + YAML linguistic explanation
+        (gridTDmodel.py:1158-1211)."""
+        import yaml
+        from PIL import Image
+
+        from ..utils.viz import gamma_correction, heatmap_rgb
+
+        name = os.path.splitext(os.path.basename(img_filepath))[0]
+        out_dir = os.path.join(save_path, name)
+        os.makedirs(out_dir, exist_ok=True)
+        words = ["<start>"] + exp.caption
+        ling = []
+        for t in range(len(exp.caption)):
+            rel_t = exp.relevance_words[t]
+            ling.append({exp.caption[t]: [
+                {words[i]: float(rel_t[i])} for i in range(t + 1)
+            ]})
+        with open(os.path.join(out_dir,
+                               f"{self.EX_TYPE}_linguistic_explanation.yaml"),
+                  "w") as f:
+            yaml.safe_dump(ling, f)
+
+        img = Image.open(img_filepath).convert("RGB").resize(
+            (exp.relevance_images.shape[2], exp.relevance_images.shape[1])
+        )
+        for t in range(len(exp.caption)):
+            hm = gamma_correction(exp.relevance_images[t][None])
+            hm = heatmap_rgb(hm)[0]
+            blend = Image.blend(img, Image.fromarray(np.uint8(hm * 255)), 1.0)
+            if t_list is None or t in (t_list or []):
+                blend.save(os.path.join(
+                    out_dir, f"{t}_{self.EX_TYPE}_{exp.caption[t]}.jpg"))
+        return out_dir

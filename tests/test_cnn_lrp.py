@@ -1,0 +1,130 @@
+"""CNN LRP rules vs a torch-autograd oracle implementing the reference's
+clamped-weight gradient formulation (lrp_modules.py:56-170) on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from lrp_imagecaptioning_tpu.explain.cnn_lrp import (
+    conv_alpha_beta,
+    maxpool_winner,
+    vgg_lrp,
+)
+from lrp_imagecaptioning_tpu.models.encoders import (
+    ConvParams,
+    VGGParams,
+    vgg_spec,
+)
+
+Z_EPS = 1e-7
+
+
+def torch_safe_divide(a, b):
+    return a / (b + Z_EPS * (b == 0).float())
+
+
+def torch_conv_alpha_beta(w_oihw, x_nchw, r_nchw):
+    """Reference-semantics oracle: PosNetConv + lrp_backward via autograd."""
+    w = torch.tensor(w_oihw)
+    x = torch.tensor(x_nchw, requires_grad=True)
+    r = torch.tensor(r_nchw)
+    wp, wn = w.clamp(min=0), w.clamp(max=0)
+    z = F.conv2d(x.clamp(min=0), wp, padding=1) + F.conv2d(
+        x.clamp(max=0), wn, padding=1
+    )
+    s = torch_safe_divide(r, z)
+    z.backward(s)
+    return (x.detach() * x.grad).numpy()
+
+
+def torch_maxpool_rule(x_nchw, r_nchw):
+    x = torch.tensor(x_nchw, requires_grad=True)
+    z = F.max_pool2d(x, 2, 2)
+    s = torch_safe_divide(torch.tensor(r_nchw), z)
+    z.backward(s)
+    return (x.detach() * x.grad).numpy()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_conv_alpha_beta_matches_torch(seed):
+    rng = np.random.default_rng(seed)
+    cin, cout, hw = 3, 5, 8
+    w_oihw = rng.normal(size=(cout, cin, 3, 3)).astype(np.float32)
+    x_nchw = rng.normal(size=(1, cin, hw, hw)).astype(np.float32)
+    r_nchw = rng.normal(size=(1, cout, hw, hw)).astype(np.float32)
+    want = torch_conv_alpha_beta(w_oihw, x_nchw, r_nchw)
+
+    p = ConvParams(jnp.asarray(w_oihw.transpose(2, 3, 1, 0)), None)
+    x = jnp.asarray(x_nchw.transpose(0, 2, 3, 1))
+    r = jnp.asarray(r_nchw.transpose(0, 2, 3, 1))
+    got = np.asarray(conv_alpha_beta(p, x, r)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_maxpool_rule_matches_torch(seed):
+    rng = np.random.default_rng(seed)
+    # relu'd input (realistic: pools always follow relu in VGG)
+    x_nchw = np.maximum(rng.normal(size=(1, 4, 8, 8)), 0).astype(np.float32)
+    r_nchw = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+    want = torch_maxpool_rule(x_nchw, r_nchw)
+    got = np.asarray(
+        maxpool_winner(
+            jnp.asarray(x_nchw.transpose(0, 2, 3, 1)),
+            jnp.asarray(r_nchw.transpose(0, 2, 3, 1)),
+        )
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_small_vgg_stack_matches_torch_chain():
+    """Two convs + relu + maxpool end-to-end against the torch oracle chain
+    with identity-relu rule."""
+    rng = np.random.default_rng(3)
+    cfg = [4, "M", 6]
+    spec = vgg_spec(cfg)
+    w1 = rng.normal(size=(4, 3, 3, 3)).astype(np.float32)
+    w2 = rng.normal(size=(6, 4, 3, 3)).astype(np.float32)
+    params = VGGParams((
+        ConvParams(jnp.asarray(w1.transpose(2, 3, 1, 0)), jnp.zeros(4)),
+        ConvParams(jnp.asarray(w2.transpose(2, 3, 1, 0)), jnp.zeros(6)),
+    ))
+    img = rng.normal(size=(1, 3, 8, 8)).astype(np.float32)
+    r_seed = rng.normal(size=(1, 6, 4, 4)).astype(np.float32)
+
+    got = np.asarray(
+        vgg_lrp(
+            params,
+            jnp.asarray(img.transpose(0, 2, 3, 1)),
+            jnp.asarray(r_seed.transpose(0, 2, 3, 1)),
+            spec=spec,
+        )
+    ).transpose(0, 3, 1, 2)
+
+    # torch chain: forward stash
+    x0 = img
+    z1 = F.conv2d(torch.tensor(x0), torch.tensor(w1), padding=1).numpy()
+    a1 = np.maximum(z1, 0)
+    p1 = F.max_pool2d(torch.tensor(a1), 2, 2).numpy()
+    # backward: conv2 <- relu(identity) <- ... seed at conv2 output
+    r = torch_conv_alpha_beta(w2, p1, r_seed)  # input of conv2 is pooled map
+    r = torch_maxpool_rule(a1, r)  # pool input is relu output
+    r = r  # relu identity
+    r = torch_conv_alpha_beta(w1, x0, r)
+    np.testing.assert_allclose(got, r, rtol=1e-3, atol=1e-5)
+
+
+def test_full_vgg16_lrp_runs_and_finite():
+    params_vgg = __import__(
+        "lrp_imagecaptioning_tpu.models.encoders", fromlist=["init_vgg16"]
+    ).init_vgg16(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    r_feat = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 512))
+    rel = jax.jit(lambda: vgg_lrp(params_vgg, img, r_feat))()
+    rel = np.asarray(rel)
+    assert rel.shape == (1, 64, 64, 3)
+    assert np.isfinite(rel).all()
+    assert np.abs(rel).sum() > 0
