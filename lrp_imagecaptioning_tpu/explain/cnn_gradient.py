@@ -1,0 +1,72 @@
+"""CNN-stage backward passes for the gradient-family explainers.
+
+- plain gradient: true vjp of the conv stack seeded with the decoder's
+  feature-grid gradients (``ExplainGridTDGradient.explain_cnn``,
+  gridTDmodel.py:1510-1523),
+- guided backprop: the backward walk with the guided ReLU rule
+  ``grad' = clamp(grad, min=0) * (relu_output > 0)``
+  (register_hooks, gridTDmodel.py:1677-1691).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.encoders import VGG16_SPEC, VGGLayer, VGGParams, conv2d, maxpool2x2
+
+
+def vgg_gradient(
+    params: VGGParams, image: jax.Array, d_feature: jax.Array, *,
+    spec: tuple[VGGLayer, ...] = VGG16_SPEC,
+) -> jax.Array:
+    """True input gradient: vjp of the conv stack."""
+    from ..models.encoders import vgg_forward
+
+    _, vjp = jax.vjp(
+        lambda im: vgg_forward(params, im.astype(jnp.float32), spec=spec), image
+    )
+    (g,) = vjp(d_feature.astype(jnp.float32))
+    return g
+
+
+def make_vgg_guided_backward(
+    params: VGGParams, image: jax.Array, *,
+    spec: tuple[VGGLayer, ...] = VGG16_SPEC,
+):
+    """Guided-backprop backward closure sharing one forward stash (same
+    amortization as make_vgg_lrp_backward)."""
+    x = image.astype(jnp.float32)
+    records = []
+    for layer in spec:
+        if layer.kind == "conv":
+            p = params.convs[layer.param_idx]
+            _, vjp = jax.vjp(lambda xx, p=p: conv2d(p, xx), x)
+            records.append(("conv", None, vjp))
+            x = conv2d(p, x)
+        elif layer.kind == "relu":
+            x = jax.nn.relu(x)
+            records.append(("relu", x, None))  # stash the relu OUTPUT
+        elif layer.kind == "maxpool":
+            _, vjp = jax.vjp(maxpool2x2, x)
+            records.append(("maxpool", None, vjp))
+            x = maxpool2x2(x)
+
+    def backward(g: jax.Array) -> jax.Array:
+        g = g.astype(jnp.float32)
+        for kind, out, vjp in reversed(records):
+            if kind == "relu":
+                # guided rule: positive grads, gated by positive activations
+                g = jnp.maximum(g, 0.0) * (out > 0)
+            else:
+                (g,) = vjp(g)
+        return g
+
+    return backward
+
+
+def vgg_guided_gradient(
+    params: VGGParams, image: jax.Array, d_feature: jax.Array, *,
+    spec: tuple[VGGLayer, ...] = VGG16_SPEC,
+) -> jax.Array:
+    return make_vgg_guided_backward(params, image, spec=spec)(d_feature)

@@ -21,7 +21,9 @@ import numpy as np
 
 from ..data.vocab import WordMap
 from ..models.captioner import Captioner, CaptionerParams
+from .cnn_gradient import make_vgg_guided_backward, vgg_gradient
 from .cnn_lrp import make_vgg_lrp_backward
+from .gridtd_gradient import grad_cam, gradient_all_words
 from .gridtd_lrp import explain_all_words, stash_forward
 
 
@@ -33,10 +35,13 @@ class CaptionExplanation(NamedTuple):
     alphas: np.ndarray  # (T, P) attention maps per step
 
 
-class GridTDLrpExplainer:
-    """LRP explainer for GridTD (+VGG16).  EX_TYPE mirrors the reference tag."""
+class GridTDExplainerBase:
+    """Shared machinery: beam decode -> stash forward -> per-word walk ->
+    CNN stage, all inside one jitted core.  Subclasses define the decoder walk
+    and the CNN stage (the reference's Explain* class family,
+    gridTDmodel.py:705-1858)."""
 
-    EX_TYPE = "lrp"
+    EX_TYPE = "base"
 
     def __init__(
         self,
@@ -55,6 +60,13 @@ class GridTDLrpExplainer:
         self.max_words = max_words
         self.quirk = language_double_bias_i
         self._core = jax.jit(self._explain_core)
+
+    # -- subclass hooks --------------------------------------------------
+    def _decoder_walk(self, params, feats, stash, targets):
+        raise NotImplementedError
+
+    def _cnn_stage(self, params, image, word_exp):
+        raise NotImplementedError
 
     # -- compiled core ---------------------------------------------------
     def _explain_core(self, params: CaptionerParams, image: jax.Array):
@@ -76,20 +88,25 @@ class GridTDLrpExplainer:
         targets = jnp.concatenate(
             [beam.tokens[1 : self.max_words], jnp.zeros((1,), jnp.int32)]
         )
-        word_exp = explain_all_words(params.decoder, feats, stash, targets=targets,
-                                     bu=self.cap.cfg.is_bu)
-
+        word_exp = self._decoder_walk(params, feats, stash, targets)
         if self.cap.cfg.is_bu:
             rel_imgs = word_exp.r_img_feature  # (T, P, C) region relevance
         else:
-            # reshape the raw-grid relevance (T, P, C) onto the feature map and
-            # walk the CNN once per word with a shared forward stash
-            hw = int(np.sqrt(self.cap.cfg.num_pixels))
-            c_raw = self.cap.raw_dim
-            seeds = word_exp.r_img_feature.reshape(self.max_words, hw, hw, c_raw)
-            backward, _ = make_vgg_lrp_backward(params.encoder, image)
-            rel_imgs = jax.vmap(lambda r: backward(r[None])[0])(seeds)
+            rel_imgs = self._cnn_stage(params, image, word_exp)
         return beam.tokens, beam.length, rel_imgs, word_exp.r_words, stash.alpha
+
+    def _grid_seeds(self, word_exp):
+        """(T, P, C) decoder-walk output -> (T, h, w, C) CNN seeds."""
+        hw = int(np.sqrt(self.cap.cfg.num_pixels))
+        return word_exp.r_img_feature.reshape(
+            self.max_words, hw, hw, self.cap.raw_dim
+        )
+
+
+    def explain_batch(self, images: jax.Array):
+        """Raw batched core output (tokens, lengths, rel_imgs, r_words,
+        alphas) for a batch of images."""
+        return self.batched_core()(self.params, jnp.asarray(images))
 
     def batched_core(self):
         """jitted (params, images (B, H, W, 3)) -> per-image explanation
@@ -177,3 +194,116 @@ class GridTDLrpExplainer:
                 blend.save(os.path.join(
                     out_dir, f"{t}_{self.EX_TYPE}_{exp.caption[t]}.jpg"))
         return out_dir
+
+
+
+
+class GridTDLrpExplainer(GridTDExplainerBase):
+    """LRP explainer (reference ExplainGridTDAttention, gridTDmodel.py:705)."""
+
+    EX_TYPE = "lrp"
+
+    def _decoder_walk(self, params, feats, stash, targets):
+        return explain_all_words(
+            params.decoder, feats, stash, targets=targets, bu=self.cap.cfg.is_bu
+        )
+
+    def _cnn_stage(self, params, image, word_exp):
+        backward, _ = make_vgg_lrp_backward(params.encoder, image)
+        return jax.vmap(lambda r: backward(r[None])[0])(self._grid_seeds(word_exp))
+
+
+class GridTDGradientExplainer(GridTDExplainerBase):
+    """Plain gradient explainer (ExplainGridTDGradient, gridTDmodel.py:1214):
+    manual decoder backward (with its documented approximations) + true CNN
+    input gradient."""
+
+    EX_TYPE = "gradient"
+    GUIDED = False
+
+    def _decoder_walk(self, params, feats, stash, targets):
+        return gradient_all_words(
+            params.decoder, feats, stash, targets=targets,
+            guided=self.GUIDED, bu=self.cap.cfg.is_bu,
+        )
+
+    def _cnn_stage(self, params, image, word_exp):
+        seeds = self._grid_seeds(word_exp)
+        return jax.vmap(
+            lambda d: vgg_gradient(params.encoder, image, d[None])[0]
+        )(seeds)
+
+
+class GridTDGuidedGradientExplainer(GridTDGradientExplainer):
+    """Guided backprop (ExplainiGridTDGuidedGradient, gridTDmodel.py:1585)."""
+
+    EX_TYPE = "GuidedBackpropagate"
+    GUIDED = True
+
+    def _cnn_stage(self, params, image, word_exp):
+        seeds = self._grid_seeds(word_exp)
+        backward = make_vgg_guided_backward(params.encoder, image)
+        return jax.vmap(lambda d: backward(d[None])[0])(seeds)
+
+
+class GridTDGradCamExplainer(GridTDGradientExplainer):
+    """Grad-CAM over the 14x14 feature grid (ExplainGridTDGradCam,
+    gridTDmodel.py:1752): relevance_images are per-word normalized CAMs of
+    shape (T, P) — rendered via attention-style upscaling, not pixel space."""
+
+    EX_TYPE = "GradCam"
+
+    def _cnn_stage(self, params, image, word_exp):
+        feats = self.cap.encode(params, image)
+        grid = feats.raw[0]  # (P, C)
+        return jax.vmap(
+            lambda d: grad_cam(grid, d)
+        )(word_exp.r_img_feature)
+
+
+class GridTDGuidedGradCamExplainer(GridTDGuidedGradientExplainer):
+    """Guided Grad-CAM (ExplainGridTDGuidedGradCam, gridTDmodel.py:1796):
+    guided-backprop pixel gradients multiplied on host by the
+    pyramid-expanded CAM (skimage, upscale=16 — host-side by design, matching
+    gridTDmodel.py:1824-1828)."""
+
+    EX_TYPE = "GuidedGradCam"
+
+    def _cnn_stage(self, params, image, word_exp):
+        seeds = self._grid_seeds(word_exp)
+        backward = make_vgg_guided_backward(params.encoder, image)
+        guided = jax.vmap(lambda d: backward(d[None])[0])(seeds)
+        feats = self.cap.encode(params, image)
+        cams = jax.vmap(lambda d: grad_cam(feats.raw[0], d))(word_exp.r_img_feature)
+        # stash CAMs for the host-side multiply (pyramid expand is host skimage)
+        return guided, cams
+
+    def explain_caption_arrays(self, image):
+        tokens, length, (guided, cams), r_words, alphas = self._core(
+            self.params, jnp.asarray(image)
+        )
+        from ..utils.viz import upscale_attention
+
+        guided = np.asarray(guided)
+        cams = np.asarray(cams)
+        hw = int(np.sqrt(self.cap.cfg.num_pixels))
+        upscale = image.shape[1] // hw
+        expanded = np.stack([
+            upscale_attention(c, (hw, hw), upscale=upscale, sigma=20.0)
+            for c in cams
+        ])
+        rel = guided * expanded[..., None]
+        tokens = np.asarray(tokens)
+        length = int(length)
+        words_ids = tokens[1:length]
+        t_count = len(words_ids)
+        if t_count and words_ids[-1] == self.word_map.end:
+            t_count -= 1
+        rev = self.word_map.id_to_word
+        return CaptionExplanation(
+            caption=[rev.get(int(w), "<unk>") for w in words_ids[:t_count]],
+            tokens=tokens[:length],
+            relevance_images=rel[:t_count],
+            relevance_words=np.asarray(r_words)[:t_count, : t_count + 1],
+            alphas=np.asarray(alphas)[:t_count],
+        )

@@ -61,6 +61,9 @@ class GridTDStash(NamedTuple):
     context: jax.Array  # (T, H)
     context_hat: jax.Array  # (T, H)
     predictions: jax.Array  # (T, V) raw logits (no dropout)
+    o1: jax.Array  # (T, H) sigmoid output gate, AdaLSTM
+    o2: jax.Array  # (T, H) sigmoid output gate, language LSTM
+    sen_gate: jax.Array  # (T, H) sentinel gate (pre-tanh multiplier)
 
 
 def _manual_lstm(x, h, c, w_ih, w_hh, b1, b2):
@@ -68,9 +71,10 @@ def _manual_lstm(x, h, c, w_ih, w_hh, b1, b2):
     zi, zf, zg, zo = jnp.split(z, 4, axis=-1)
     i = jax.nn.sigmoid(zi)
     f = jax.nn.sigmoid(zf)
+    o = jax.nn.sigmoid(zo)
     c_new = f * c + i * jnp.tanh(zg)
-    h_new = jax.nn.sigmoid(zo) * jnp.tanh(c_new)
-    return h_new, c_new, zg, i, f
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new, zg, i, f, o
 
 
 def stash_forward(
@@ -94,7 +98,7 @@ def stash_forward(
         h1, c1, h2, c2 = carry
         emb = p.embedding[tok].astype(jnp.float32)
         x1 = jnp.concatenate([h2, glob, emb])
-        h1n, c1n, g1, i1, f1 = _manual_lstm(
+        h1n, c1n, g1, i1, f1, o1 = _manual_lstm(
             x1, h1, c1, p.ada_lstm.lstm.w_ih, p.ada_lstm.lstm.w_hh,
             p.ada_lstm.lstm.b_hh, p.ada_lstm.lstm.b_ih,
         )
@@ -109,19 +113,19 @@ def stash_forward(
         ctx_hat, ctx = att.c_hat[0], att.context[0]
         alpha, beta = att.alpha[0], att.beta[0, 0]
         x2 = jnp.concatenate([ctx_hat, h1n])
-        h2n, c2n, g2, i2, f2 = _manual_lstm(
+        h2n, c2n, g2, i2, f2, o2 = _manual_lstm(
             x2, h2, c2, p.language_lstm.w_ih, p.language_lstm.w_hh,
             p.language_lstm.b_ih, lb2,
         )
         logits = linear(p.fc, ctx_hat + h2n)
         out = (x1, x2, h1, c1, h2, c2, g1, i1, f1, g2, i2, f2, s,
-               alpha, beta, ctx, ctx_hat, logits, h1n, c1n, h2n, c2n)
+               alpha, beta, ctx, ctx_hat, logits, o1, o2, sen_gate)
         return (h1n, c1n, h2n, c2n), out
 
     z = jnp.zeros((hidden,), jnp.float32)
     (h1T, c1T, h2T, c2T), outs = jax.lax.scan(body, (z, z, z, z), tokens)
     (x1, x2, h1p, c1p, h2p, c2p, g1, i1, f1, g2, i2, f2, s,
-     alpha, beta, ctx, ctx_hat, logits, h1n, c1n, h2n, c2n) = outs
+     alpha, beta, ctx, ctx_hat, logits, o1, o2, sen_gate) = outs
 
     def states(prevs, last):
         return jnp.concatenate([prevs, last[None]], axis=0)
@@ -133,6 +137,7 @@ def stash_forward(
         g1=g1, i1=i1, f1=f1, g2=g2, i2=i2, f2=f2,
         s=s, alpha=alpha, beta=beta,
         context=ctx, context_hat=ctx_hat, predictions=logits,
+        o1=o1, o2=o2, sen_gate=sen_gate,
     )
 
 

@@ -69,12 +69,20 @@ def heatmap_rgb(x: np.ndarray, cmap_type: str = "seismic",
     return rgb.reshape(shape).astype(np.float32)
 
 
+def _pyramid_expand(image: np.ndarray, upscale: int, sigma: float) -> np.ndarray:
+    """skimage.transform.pyramid_expand equivalent (upsample via spline
+    interpolation then gaussian smooth) built on scipy — skimage is not a
+    dependency of this image."""
+    from scipy import ndimage
+
+    up = ndimage.zoom(image, upscale, order=1)
+    return ndimage.gaussian_filter(up, sigma=sigma, mode="reflect")
+
+
 def upscale_attention(attention: np.ndarray, reshape_size, upscale: int,
                       sigma: float = 20.0) -> np.ndarray:
     """Pyramid-expand an attention grid to image size
     (LRPtools/utils.py:150-171)."""
-    import skimage.transform
-
     att = np.asarray(attention, dtype=np.float64).reshape(reshape_size)
     absmax = np.max(np.abs(att))
     if absmax != 0:
@@ -82,10 +90,15 @@ def upscale_attention(attention: np.ndarray, reshape_size, upscale: int,
         if np.sum(att < 0):
             att = (att + 1) / 2
     try:
-        return skimage.transform.pyramid_expand(
-            att, upscale=upscale, sigma=sigma, channel_axis=None
-        )
-    except TypeError:  # older skimage
-        return skimage.transform.pyramid_expand(
-            att, upscale=upscale, sigma=sigma, multichannel=False
-        )
+        import skimage.transform
+
+        try:
+            return skimage.transform.pyramid_expand(
+                att, upscale=upscale, sigma=sigma, channel_axis=None
+            )
+        except TypeError:  # older skimage
+            return skimage.transform.pyramid_expand(
+                att, upscale=upscale, sigma=sigma, multichannel=False
+            )
+    except ImportError:
+        return _pyramid_expand(att, upscale, sigma)
