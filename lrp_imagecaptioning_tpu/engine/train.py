@@ -89,6 +89,12 @@ class Trainer:
         self.word_map = word_map
         self.captioner = captioner or Captioner(self.cfg)
         self.mesh = mesh if mesh is not None else build_mesh(exp.mesh)
+        dp = self.mesh.shape[exp.mesh.data_axis]
+        if self.tcfg.batch_size % dp != 0:
+            raise ValueError(
+                f"batch_size={self.tcfg.batch_size} must be divisible by the "
+                f"data-parallel axis ({dp} devices)"
+            )
         self.pad_id = word_map.pad
         self._build_optimizer()
         self._compiled: dict[str, Callable] = {}
@@ -231,6 +237,96 @@ class Trainer:
         state, loss = upd(state, images, sampled_toks, jnp.asarray(reward))
         return state, float(loss), float(reward[:, 0].mean())
 
+    # -- LRP-inference fine-tuning modes --------------------------------
+    @property
+    def stop_mask(self):
+        if not hasattr(self, "_stop_mask"):
+            from ..models.lrp_tuning import stop_word_mask
+
+            self._stop_mask = stop_word_mask(self.word_map, self.cfg.padded_vocab)
+        return self._stop_mask
+
+    def lrp_xe_step(self, state: TrainState, images, captions, rng):
+        """lrp_tune: loss = CE(standard) + CE(lrp-weighted)
+        (train_lrp, train.py:211-242)."""
+
+        def loss_fn(params):
+            feats = self.captioner.encode(
+                params, images,
+                stop_encoder_gradient=not self.tcfg.finetune_encoder,
+            )
+            num_steps = captions.shape[1] - 1
+            logits, weighted = self.captioner.forward_lrp(
+                params, feats, captions, self.stop_mask, num_steps=num_steps
+            )
+            targets = captions[:, 1:]
+            loss = (
+                cross_entropy_loss(logits, targets, self.pad_id)
+                + cross_entropy_loss(weighted, targets, self.pad_id)
+            )
+            acc = top1_accuracy(logits, targets, self.pad_id)
+            return loss, acc
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             step=state.step + 1), loss, acc
+
+    def lrp_scst_rollout(self, state: TrainState, images, num_steps: int, rng):
+        """Greedy baseline + LRP-weighted sampled rollout
+        (trainciderlrp, train.py:252-286)."""
+        feats = self.captioner.encode(state.params, images)
+        greedy = self.captioner.sample(
+            state.params, feats, self.word_map, jax.random.PRNGKey(0),
+            num_steps=num_steps, sample_method="greedy",
+        )
+        sampled, _ = self.captioner.sample_lrp(
+            state.params, feats, self.stop_mask, self.word_map, rng,
+            num_steps=num_steps,
+        )
+        return greedy.tokens, sampled
+
+    def lrp_scst_update(self, state: TrainState, images, sampled, reward):
+        """Policy gradient through the LRP-weighted logprobs (re-derived by
+        teacher-forcing the sampled sequence through forward_lrp)."""
+
+        def loss_fn(params):
+            feats = self.captioner.encode(
+                params, images,
+                stop_encoder_gradient=not self.tcfg.finetune_encoder,
+            )
+            b, ts = sampled.shape
+            start_col = jnp.full((b, 1), self.word_map.start, jnp.int32)
+            inputs = jnp.concatenate([start_col, sampled], axis=1)
+            _, weighted = self.captioner.forward_lrp(
+                params, feats, inputs, self.stop_mask, num_steps=ts
+            )
+            logprobs = jax.nn.log_softmax(weighted.astype(jnp.float32), -1)
+            lp = jnp.take_along_axis(logprobs, sampled[..., None], -1)[..., 0]
+            return reward_criterion(lp, sampled, reward)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             step=state.step + 1), loss
+
+    def lrp_scst_batch(self, state: TrainState, batch, rng, num_steps: int):
+        images = jnp.asarray(batch.images)
+        ro = self._jit("lrp_scst_rollout", self.lrp_scst_rollout,
+                       static_argnums=(2,))
+        greedy_toks, sampled_toks = ro(state, images, num_steps, rng)
+        reward = get_self_critical_reward(
+            np.asarray(greedy_toks), batch.all_captions, np.asarray(sampled_toks),
+            self.word_map,
+            cider_reward_weight=self.tcfg.cider_reward_weight,
+            bleu_reward_weight=self.tcfg.bleu_reward_weight,
+        )
+        upd = self._jit("lrp_scst_update", self.lrp_scst_update)
+        state, loss = upd(state, images, sampled_toks, jnp.asarray(reward))
+        return state, float(loss), float(reward[:, 0].mean())
+
     # -- epoch loops ----------------------------------------------------
     def train_epoch_xe(self, state: TrainState, ds: CaptionDataset, epoch: int,
                        rng: jax.Array):
@@ -254,18 +350,44 @@ class Trainer:
         return state, losses.avg, rng
 
     def train_epoch_scst(self, state: TrainState, ds: CaptionDataset, epoch: int,
-                         rng: jax.Array):
+                         rng: jax.Array, *, use_lrp: bool = False):
         losses, rewards = AverageMeter(), AverageMeter()
         num_steps = self.tcfg.max_caption_len - 1
+        step_fn = self.lrp_scst_batch if use_lrp else self.scst_batch
         for i, batch in enumerate(ds.train_batches(self.tcfg.batch_size)):
             rng, srng = jax.random.split(rng)
-            state, loss, rew = self.scst_batch(state, batch, srng, num_steps)
+            state, loss, rew = step_fn(state, batch, srng, num_steps)
             losses.update(loss)
             rewards.update(rew)
             if i % self.tcfg.print_freq == 0:
                 print(f"Epoch: [{epoch}][{i}] Loss {losses.val:.4f} "
                       f"({losses.avg:.4f}) Reward {rewards.val:.3f} "
                       f"({rewards.avg:.3f})")
+        return state, losses.avg, rng
+
+    def train_epoch_lrp(self, state: TrainState, ds: CaptionDataset, epoch: int,
+                        rng: jax.Array):
+        bs = batch_sharding(self.mesh, self.exp.mesh)
+        step = self._jit(
+            "lrp_xe", self.lrp_xe_step,
+            in_shardings=(None, bs, bs, replicated(self.mesh)),
+            donate_argnums=(0,),
+        )
+        losses, accs = AverageMeter(), AverageMeter()
+        for i, batch in enumerate(ds.train_batches(self.tcfg.batch_size)):
+            rng, srng = jax.random.split(rng)
+            state, loss, acc = step(
+                state,
+                jax.device_put(jnp.asarray(batch.images), bs),
+                jax.device_put(jnp.asarray(batch.captions), bs),
+                srng,
+            )
+            n = float(batch.caption_lengths.sum())
+            losses.update(float(loss), n)
+            accs.update(float(acc), n)
+            if i % self.tcfg.print_freq == 0:
+                print(f"Epoch: [{epoch}][{i}] Loss {losses.val:.4f} "
+                      f"({losses.avg:.4f}) Top-1 {accs.val:.3f} ({accs.avg:.3f})")
         return state, losses.avg, rng
 
     # -- validation -----------------------------------------------------
@@ -328,8 +450,14 @@ class Trainer:
                 state, loss, rng = self.train_epoch_xe(state, train_ds, epoch, rng)
             elif mode == "cider":
                 state, loss, rng = self.train_epoch_scst(state, train_ds, epoch, rng)
+            elif mode == "lrp":
+                state, loss, rng = self.train_epoch_lrp(state, train_ds, epoch, rng)
+            elif mode == "lrp_cider":
+                state, loss, rng = self.train_epoch_scst(
+                    state, train_ds, epoch, rng, use_lrp=True
+                )
             else:
-                raise NotImplementedError(f"mode {mode} wired in round >1 slice")
+                raise NotImplementedError(f"unknown mode {mode}")
             bleu, cider = self.validate(state, val_ds, beam_size=validate_beam)
             is_best = cider > best_cider
             best_cider = max(cider, best_cider)

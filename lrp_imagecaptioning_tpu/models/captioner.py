@@ -139,6 +139,33 @@ class Captioner:
         feats_un = jax.tree_util.tree_map(lambda x: x, feats)
         return jax.vmap(one)(feats_un)
 
+    # -- LRP-inference fine-tuning paths ---------------------------------
+    def forward_lrp(self, params, feats, captions, stop_mask, *, num_steps):
+        """(standard, weighted) teacher-forced logits for lrp_tune
+        (forwardlrp_context, gridTDmodel.py:580-633)."""
+        from . import lrp_tuning
+
+        logits, weighted = lrp_tuning.forward_lrp_context(
+            params.decoder, feats, captions, stop_mask, num_steps=num_steps
+        )
+        return (
+            gridtd.mask_padded_logits(logits, self.cfg.vocab_size),
+            gridtd.mask_padded_logits(weighted, self.cfg.vocab_size),
+        )
+
+    def sample_lrp(self, params, feats, stop_mask, word_map, rng, *,
+                   num_steps, sample_method="sample", temperature=1.0):
+        """Rollout from the LRP-weighted distribution (sample_lrp,
+        gridTDmodel.py:635-702)."""
+        from . import lrp_tuning
+
+        return lrp_tuning.sample_lrp(
+            params.decoder, feats, stop_mask, rng,
+            start_token=word_map.start, end_token=word_map.end,
+            num_steps=num_steps, sample_method=sample_method,
+            temperature=temperature, vocab_size=self.cfg.vocab_size,
+        )
+
     def diverse_beam_search_single(self, params, feats1, word_map, *,
                                    beam_size: int = 3, max_cap_length: int = 50,
                                    diversity_prob: float = 0.5):
