@@ -6,6 +6,10 @@ from .rules import (
     stabilize,
 )
 from .explainer import (
+    AOAGradCamExplainer,
+    AOAGradientExplainer,
+    AOAGuidedGradientExplainer,
+    AOALrpExplainer,
     CaptionExplanation,
     GridTDExplainerBase,
     GridTDGradCamExplainer,
@@ -16,9 +20,30 @@ from .explainer import (
 )
 
 EXPLAINER_REGISTRY = {
-    "lrp": GridTDLrpExplainer,
-    "gradient": GridTDGradientExplainer,
-    "guided_gradient": GridTDGuidedGradientExplainer,
-    "grad_cam": GridTDGradCamExplainer,
-    "guided_grad_cam": GridTDGuidedGradCamExplainer,
+    "gridtd": {
+        "lrp": GridTDLrpExplainer,
+        "gradient": GridTDGradientExplainer,
+        "guided_gradient": GridTDGuidedGradientExplainer,
+        "grad_cam": GridTDGradCamExplainer,
+        "guided_grad_cam": GridTDGuidedGradCamExplainer,
+    },
+    "aoa": {
+        "lrp": AOALrpExplainer,
+        "gradient": AOAGradientExplainer,
+        "guided_gradient": AOAGuidedGradientExplainer,
+        "grad_cam": AOAGradCamExplainer,
+    },
 }
+
+
+def build_explainer(explainer_type: str, captioner, params, word_map, **kw):
+    """Factory keyed by (model family, explainer type)."""
+    family = captioner.cfg.model_type.replace("_bu", "")
+    try:
+        cls = EXPLAINER_REGISTRY[family][explainer_type]
+    except KeyError:
+        raise KeyError(
+            f"no {explainer_type!r} explainer for model family {family!r}; "
+            f"have {sorted(EXPLAINER_REGISTRY.get(family, {}))}"
+        ) from None
+    return cls(captioner, params, word_map, **kw)

@@ -62,6 +62,12 @@ class GridTDExplainerBase:
         self._core = jax.jit(self._explain_core)
 
     # -- subclass hooks --------------------------------------------------
+    def _make_stash(self, params, feats, tokens_in):
+        return stash_forward(
+            params.decoder, feats, tokens_in,
+            language_double_bias_i=self.quirk,
+        )
+
     def _decoder_walk(self, params, feats, stash, targets):
         raise NotImplementedError
 
@@ -80,10 +86,7 @@ class GridTDExplainerBase:
         # input tokens for the stash forward: <start> + decoded words.
         # beam.tokens[0] is <start>; positions >= beam.length are 0.
         tokens_in = beam.tokens[: self.max_words]
-        stash = stash_forward(
-            params.decoder, feats, tokens_in,
-            language_double_bias_i=self.quirk,
-        )
+        stash = self._make_stash(params, feats, tokens_in)
         # explained word at step t is the decoded token t+1
         targets = jnp.concatenate(
             [beam.tokens[1 : self.max_words], jnp.zeros((1,), jnp.int32)]
@@ -211,6 +214,91 @@ class GridTDLrpExplainer(GridTDExplainerBase):
     def _cnn_stage(self, params, image, word_exp):
         backward, _ = make_vgg_lrp_backward(params.encoder, image)
         return jax.vmap(lambda r: backward(r[None])[0])(self._grid_seeds(word_exp))
+
+
+class AOALrpExplainer(GridTDExplainerBase):
+    """Per-head LRP explainer for the AoA model (ExplainAOAAttention,
+    aoamodel.py:748-1255).  The reference explains one attention head at a
+    time (``explain_caption(img, head_idx)``, aoamodel.py:1165); pass
+    ``head_idx`` here.  Decode defaults follow its get_hidden_parameters
+    (beam=3, max 20, aoamodel.py:993-995)."""
+
+    EX_TYPE = "lrp"
+
+    def __init__(self, captioner, params, word_map, *, head_idx: int = 0,
+                 beam_size: int = 3, max_words: int = 20,
+                 language_double_bias_i: bool = True):
+        self.head_idx = head_idx
+        super().__init__(
+            captioner, params, word_map, beam_size=beam_size,
+            max_words=max_words, language_double_bias_i=language_double_bias_i,
+        )
+
+    def _make_stash(self, params, feats, tokens_in):
+        from .aoa_lrp import stash_forward as aoa_stash
+
+        return aoa_stash(
+            params.decoder, feats, tokens_in,
+            num_head=self.cap.cfg.num_head,
+            language_double_bias_i=self.quirk,
+        )
+
+    def _decoder_walk(self, params, feats, stash, targets):
+        from .aoa_lrp import explain_all_words as aoa_explain
+
+        return aoa_explain(
+            params.decoder, feats, stash, targets=targets,
+            head_idx=jnp.asarray(self.head_idx),
+            num_head=self.cap.cfg.num_head, bu=self.cap.cfg.is_bu,
+        )
+
+    def _cnn_stage(self, params, image, word_exp):
+        backward, _ = make_vgg_lrp_backward(params.encoder, image)
+        return jax.vmap(lambda r: backward(r[None])[0])(self._grid_seeds(word_exp))
+
+
+class AOAGradientExplainer(AOALrpExplainer):
+    """AoA plain-gradient explainer (ExplainAOAGradient, aoamodel.py:1257)."""
+
+    EX_TYPE = "gradient"
+    GUIDED = False
+
+    def _decoder_walk(self, params, feats, stash, targets):
+        from .aoa_gradient import gradient_all_words as aoa_grad
+
+        return aoa_grad(
+            params.decoder, feats, stash, targets=targets,
+            head_idx=jnp.asarray(self.head_idx),
+            num_head=self.cap.cfg.num_head, guided=self.GUIDED,
+        )
+
+    def _cnn_stage(self, params, image, word_exp):
+        seeds = self._grid_seeds(word_exp)
+        return jax.vmap(
+            lambda d: vgg_gradient(params.encoder, image, d[None])[0]
+        )(seeds)
+
+
+class AOAGuidedGradientExplainer(AOAGradientExplainer):
+    """AoA guided backprop (ExplainAOAGuidedGradient, aoamodel.py:1594)."""
+
+    EX_TYPE = "GuidedBackpropagate"
+    GUIDED = True
+
+    def _cnn_stage(self, params, image, word_exp):
+        seeds = self._grid_seeds(word_exp)
+        backward = make_vgg_guided_backward(params.encoder, image)
+        return jax.vmap(lambda d: backward(d[None])[0])(seeds)
+
+
+class AOAGradCamExplainer(AOAGradientExplainer):
+    """AoA Grad-CAM (ExplainAOAGradCam, aoamodel.py:1669)."""
+
+    EX_TYPE = "GradCam"
+
+    def _cnn_stage(self, params, image, word_exp):
+        feats = self.cap.encode(params, image)
+        return jax.vmap(lambda d: grad_cam(feats.raw[0], d))(word_exp.r_img_feature)
 
 
 class GridTDGradientExplainer(GridTDExplainerBase):

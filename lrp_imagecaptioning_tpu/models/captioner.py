@@ -1,12 +1,13 @@
 """Captioner facade: one uniform functional surface over every model family.
 
 The reference duplicates forward/sample/greedy/beam/diverse-beam across three
-model files (~3x code, SURVEY.md §2).  Here each model family plugs its
-``init/encode/forward/step/init_state`` into this facade and the decoding
-suite (``..decoding``) is written once.
+model files (~3x code, SURVEY.md §2).  Here each model family implements a
+small adapter (init/encode/forward/step/init_state + LRP-tuning hooks) and the
+decoding suite (``..decoding``), training engine and explainers are written
+once against this surface.
 
-Currently wired: gridtd (CNN + BU paths).  AoA and adaptive attention register
-through the same interface.
+Families: ``gridtd`` (GridTDModel/GridTDModelBU), ``aoa`` (AOAModel/
+AOAModelBU), ``adaptive`` (AdaptiveAttentionCaptioningModel).
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ from ..decoding import diverse_beam_search as _dbs
 from ..decoding import greedy_search as _greedy
 from ..decoding import sample as _sample
 from ..decoding.beam import BeamResult, expand_to_beam
-from . import gridtd
+from . import aoa, gridtd
 from .encoders import VGGParams, encode_image_grid, init_vgg16
 
 ENCODER_RAW_DIM = {"vgg16": 512, "resnet50": 2048, "resnet101": 2048}
@@ -32,7 +33,106 @@ ENCODER_RAW_DIM = {"vgg16": 512, "resnet50": 2048, "resnet101": 2048}
 @struct.dataclass
 class CaptionerParams:
     encoder: VGGParams | None  # CNN backbone; None for the bottom-up path
-    decoder: object  # model-family params (GridTDParams, ...)
+    decoder: object  # model-family params (GridTDParams / AOAParams / ...)
+
+
+def mask_padded_logits(logits: jax.Array, vocab_size: int) -> jax.Array:
+    if logits.shape[-1] == vocab_size:
+        return logits
+    ids = jnp.arange(logits.shape[-1])
+    return jnp.where(ids < vocab_size, logits, -1e9)
+
+
+class _GridTDFamily:
+    dropout_rate = 0.5
+
+    def __init__(self, cfg: ModelConfig, raw_dim: int):
+        self.cfg, self.raw_dim = cfg, raw_dim
+
+    def init(self, rng):
+        return gridtd.init_gridtd(rng, self.cfg, self.raw_dim)
+
+    def encode(self, decoder, raw, avg):
+        if self.cfg.is_bu:
+            return gridtd.encode_features_bu(decoder, raw)
+        return gridtd.encode_features(decoder, raw, avg)
+
+    def init_state(self, b):
+        return gridtd.init_state(b, self.cfg.hidden_dim)
+
+    def step(self, decoder, feats, state, token, *, rng=None, train=False):
+        return gridtd.step(
+            decoder, feats, state, token, rng=rng, train=train,
+            dropout_rate=self.dropout_rate,
+        )
+
+    def forward(self, decoder, feats, captions, *, num_steps, ss_prob, rng, train):
+        return gridtd.forward(
+            decoder, feats, captions, num_steps=num_steps, ss_prob=ss_prob,
+            rng=rng, train=train, dropout_rate=self.dropout_rate,
+        )
+
+    def forward_lrp(self, decoder, feats, captions, stop_mask, *, num_steps):
+        from . import lrp_tuning
+
+        return lrp_tuning.forward_lrp_context(
+            decoder, feats, captions, stop_mask, num_steps=num_steps
+        )
+
+    def sample_lrp(self, decoder, feats, stop_mask, rng, **kw):
+        from . import lrp_tuning
+
+        return lrp_tuning.sample_lrp(decoder, feats, stop_mask, rng, **kw)
+
+
+class _AOAFamily:
+    dropout_rate = 0.3  # aoamodel.py:124
+
+    def __init__(self, cfg: ModelConfig, raw_dim: int):
+        self.cfg, self.raw_dim = cfg, raw_dim
+
+    def init(self, rng):
+        return aoa.init_aoa(rng, self.cfg, self.raw_dim)
+
+    def encode(self, decoder, raw, avg):
+        # both AoA paths project the raw grid/regions and take the mean of the
+        # projected features as the global (aoamodel.py:204-209, 1840-1845)
+        return aoa.encode_features(decoder, raw)
+
+    def init_state(self, b):
+        return aoa.init_state(b, self.cfg.hidden_dim)
+
+    def step(self, decoder, feats, state, token, *, rng=None, train=False):
+        return aoa.step(
+            decoder, feats, state, token, num_head=self.cfg.num_head,
+            rng=rng, train=train, dropout_rate=self.dropout_rate,
+        )
+
+    def forward(self, decoder, feats, captions, *, num_steps, ss_prob, rng, train):
+        logits, alphas = aoa.forward(
+            decoder, feats, captions, num_head=self.cfg.num_head,
+            num_steps=num_steps, ss_prob=ss_prob, rng=rng, train=train,
+            dropout_rate=self.dropout_rate,
+        )
+        return logits, alphas, jnp.zeros(alphas.shape[:2] + (1,), alphas.dtype)
+
+    def forward_lrp(self, decoder, feats, captions, stop_mask, *, num_steps):
+        from . import lrp_tuning
+
+        return lrp_tuning.aoa_forward_lrp_context(
+            decoder, feats, captions, stop_mask,
+            num_steps=num_steps, num_head=self.cfg.num_head,
+        )
+
+    def sample_lrp(self, decoder, feats, stop_mask, rng, **kw):
+        from . import lrp_tuning
+
+        return lrp_tuning.aoa_sample_lrp(
+            decoder, feats, stop_mask, rng, num_head=self.cfg.num_head, **kw
+        )
+
+
+FAMILIES = {"gridtd": _GridTDFamily, "aoa": _AOAFamily}
 
 
 class Captioner:
@@ -41,61 +141,61 @@ class Captioner:
 
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
-        if cfg.model_type not in ("gridtd",):
+        base_type = cfg.model_type.replace("_bu", "")
+        if base_type not in FAMILIES:
             raise NotImplementedError(f"model_type {cfg.model_type!r} not wired yet")
         self.raw_dim = (
             cfg.bu_feat_dim if cfg.is_bu else ENCODER_RAW_DIM[cfg.encoder]
         )
+        self.family = FAMILIES[base_type](cfg, self.raw_dim)
 
     # -- params -----------------------------------------------------------
     def init(self, rng: jax.Array) -> CaptionerParams:
         enc_rng, dec_rng = jax.random.split(rng)
         encoder = None if self.cfg.is_bu else init_vgg16(enc_rng)
-        decoder = gridtd.init_gridtd(dec_rng, self.cfg, self.raw_dim)
-        return CaptionerParams(encoder, decoder)
+        return CaptionerParams(encoder, self.family.init(dec_rng))
 
     # -- encoding ---------------------------------------------------------
     def encode(
         self, params: CaptionerParams, visual: jax.Array, *,
         stop_encoder_gradient: bool = True,
-    ) -> gridtd.Features:
+    ):
         """visual: (B, H, W, 3) images for the CNN path or (B, 36, D) region
         features for the BU path."""
         if self.cfg.is_bu:
-            return gridtd.encode_features_bu(params.decoder, visual)
+            return self.family.encode(params.decoder, visual, None)
         raw, avg = encode_image_grid(params.encoder, visual)
         if stop_encoder_gradient:  # frozen CNN (train.py:102-104)
             raw = jax.lax.stop_gradient(raw)
             avg = jax.lax.stop_gradient(avg)
-        return gridtd.encode_features(params.decoder, raw, avg)
+        return self.family.encode(params.decoder, raw, avg)
 
     # -- teacher-forced forward ------------------------------------------
     def forward(self, params, feats, captions, *, num_steps, ss_prob=None,
                 rng=None, train=True):
-        logits, alphas, betas = gridtd.forward(
+        logits, alphas, betas = self.family.forward(
             params.decoder, feats, captions, num_steps=num_steps,
             ss_prob=ss_prob, rng=rng, train=train,
-            dropout_rate=self.cfg.dropout_rate,
         )
-        return (
-            gridtd.mask_padded_logits(logits, self.cfg.vocab_size),
-            alphas, betas,
-        )
+        return mask_padded_logits(logits, self.cfg.vocab_size), alphas, betas
 
     # -- stepping ---------------------------------------------------------
     def init_state(self, batch_size: int):
-        return gridtd.init_state(batch_size, self.cfg.hidden_dim)
+        return self.family.init_state(batch_size)
 
     def make_step_fn(self, params, feats) -> Callable:
         def step_fn(state, token):
-            logits, _, state = gridtd.step(params.decoder, feats, state, token)
-            return gridtd.mask_padded_logits(logits, self.cfg.vocab_size), state
+            logits, _, state = self.family.step(params.decoder, feats, state, token)
+            return mask_padded_logits(logits, self.cfg.vocab_size), state
 
         return step_fn
 
     # -- decoding ---------------------------------------------------------
+    def _batch_of(self, feats) -> int:
+        return jax.tree_util.tree_leaves(feats)[0].shape[0]
+
     def greedy(self, params, feats, word_map, *, max_cap_length: int = 20):
-        b = feats.v_proj.shape[0]
+        b = self._batch_of(feats)
         return _greedy(
             self.make_step_fn(params, feats), self.init_state(b),
             batch_size=b, start_token=word_map.start, end_token=word_map.end,
@@ -104,7 +204,7 @@ class Captioner:
 
     def sample(self, params, feats, word_map, rng, *, num_steps: int,
                sample_method: str = "greedy", temperature: float = 1.0):
-        b = feats.v_proj.shape[0]
+        b = self._batch_of(feats)
         return _sample(
             self.make_step_fn(params, feats), self.init_state(b), rng,
             batch_size=b, start_token=word_map.start, end_token=word_map.end,
@@ -136,30 +236,21 @@ class Captioner:
                 beam_size=beam_size, max_cap_length=max_cap_length,
             )
 
-        feats_un = jax.tree_util.tree_map(lambda x: x, feats)
-        return jax.vmap(one)(feats_un)
+        return jax.vmap(one)(feats)
 
     # -- LRP-inference fine-tuning paths ---------------------------------
     def forward_lrp(self, params, feats, captions, stop_mask, *, num_steps):
-        """(standard, weighted) teacher-forced logits for lrp_tune
-        (forwardlrp_context, gridTDmodel.py:580-633)."""
-        from . import lrp_tuning
-
-        logits, weighted = lrp_tuning.forward_lrp_context(
+        logits, weighted = self.family.forward_lrp(
             params.decoder, feats, captions, stop_mask, num_steps=num_steps
         )
         return (
-            gridtd.mask_padded_logits(logits, self.cfg.vocab_size),
-            gridtd.mask_padded_logits(weighted, self.cfg.vocab_size),
+            mask_padded_logits(logits, self.cfg.vocab_size),
+            mask_padded_logits(weighted, self.cfg.vocab_size),
         )
 
     def sample_lrp(self, params, feats, stop_mask, word_map, rng, *,
                    num_steps, sample_method="sample", temperature=1.0):
-        """Rollout from the LRP-weighted distribution (sample_lrp,
-        gridTDmodel.py:635-702)."""
-        from . import lrp_tuning
-
-        return lrp_tuning.sample_lrp(
+        return self.family.sample_lrp(
             params.decoder, feats, stop_mask, rng,
             start_token=word_map.start, end_token=word_map.end,
             num_steps=num_steps, sample_method=sample_method,

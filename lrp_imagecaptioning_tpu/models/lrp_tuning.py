@@ -65,15 +65,15 @@ def stop_word_mask(word_map: WordMap, padded_vocab: int) -> jnp.ndarray:
     return mask
 
 
-def lrp_weight_step(
-    params: GridTDParams,
+def _weight_split(
+    fc_weight: jax.Array,
     logits: jax.Array,  # (B, V) raw step logits
-    h2: jax.Array,  # (B, H)
-    ctx_hat: jax.Array,  # (B, H)
+    h_part: jax.Array,  # (B, H)
+    ctx_part: jax.Array,  # (B, H)
     stop_mask: jax.Array,  # (V,) bool
 ) -> tuple[jax.Array, jax.Array]:
-    """Batched get_lrp_weight_step (gridTDmodel.py:549-578).
-    Returns (weight_ctx_hat, weight_h2), each (B, H) in [0, 2]."""
+    """Generic weight split shared by GridTD (h2, c_hat) and AoA
+    (h, context_aoa).  Returns (weight_ctx, weight_h), each (B, H) in [0, 2]."""
     logits = logits.astype(jnp.float32)
     labels = jnp.argmax(logits, axis=-1)  # (B,)
     is_stop = jnp.asarray(stop_mask)[labels]  # (B,)
@@ -81,17 +81,28 @@ def lrp_weight_step(
     word_rel = jnp.where(
         jnp.arange(logits.shape[-1])[None, :] == labels[:, None], peak, 0.0
     )
-    mix = (h2 + ctx_hat).astype(jnp.float32)
-    fc_w = params.fc.weight.astype(jnp.float32)
+    mix = (h_part + ctx_part).astype(jnp.float32)
+    fc_w = fc_weight.astype(jnp.float32)
     r_mix = lrp_linear_eps(word_rel, mix, logits, fc_w)  # (B, H)
-    r_h2 = lrp_elem_eps(r_mix, h2.astype(jnp.float32), mix)
-    r_ctx = lrp_elem_eps(r_mix, ctx_hat.astype(jnp.float32), mix)
-    zero = jnp.zeros_like(r_h2)
-    r_h2 = jnp.where(is_stop[:, None], zero, r_h2)
+    r_h = lrp_elem_eps(r_mix, h_part.astype(jnp.float32), mix)
+    r_ctx = lrp_elem_eps(r_mix, ctx_part.astype(jnp.float32), mix)
+    zero = jnp.zeros_like(r_h)
+    r_h = jnp.where(is_stop[:, None], zero, r_h)
     r_ctx = jnp.where(is_stop[:, None], zero, r_ctx)
     w_ctx = normalize_relevance(r_ctx, axis=-1)
-    w_h2 = normalize_relevance(r_h2, axis=-1)
-    return jax.lax.stop_gradient(w_ctx), jax.lax.stop_gradient(w_h2)
+    w_h = normalize_relevance(r_h, axis=-1)
+    return jax.lax.stop_gradient(w_ctx), jax.lax.stop_gradient(w_h)
+
+
+def lrp_weight_step(
+    params: GridTDParams,
+    logits: jax.Array,
+    h2: jax.Array,
+    ctx_hat: jax.Array,
+    stop_mask: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched get_lrp_weight_step (gridTDmodel.py:549-578)."""
+    return _weight_split(params.fc.weight, logits, h2, ctx_hat, stop_mask)
 
 
 class LrpStepOut(NamedTuple):
@@ -183,6 +194,81 @@ def sample_lrp(
     _, (tokens, lps) = jax.lax.scan(
         body,
         (init_state(b, hidden, feats.v_proj.dtype), start, unfin),
+        jax.random.split(rng, num_steps),
+    )
+    return tokens.T, lps.T
+
+
+# ---------------------------------------------------------------------------
+# AoA variants (AOAModel.get_lrp_weight_step / forwardlrp_context / sample_lrp,
+# aoamodel.py:597-745): identical weight-split math with (h_t, context_aoa).
+# ---------------------------------------------------------------------------
+
+def aoa_lrp_step(params, feats, state, token, stop_mask, *, num_head: int):
+    from .aoa import AOAState, multi_head_attention
+
+    emb = params.embedding[token]
+    x = jnp.concatenate([emb, feats.global_feat], axis=-1)
+    h, c, _ = lstm_step(params.language_lstm, x, state.h, state.c)
+    q = linear(params.q_proj, h)
+    ctx, _ = multi_head_attention(q, feats.key, feats.value, num_head)
+    ctx_aoa = jax.nn.sigmoid(linear(params.aoa_linear_gate, h)) * linear(
+        params.aoa_linear, ctx
+    )
+    logits = linear(params.fc, ctx_aoa + h)
+    w_ctx, w_h = _weight_split(params.fc.weight, logits, h, ctx_aoa, stop_mask)
+    weighted = linear(params.fc, ctx_aoa * w_ctx + w_h * h)
+    return logits, weighted, AOAState(h, c)
+
+
+def aoa_forward_lrp_context(params, feats, captions, stop_mask, *,
+                            num_steps: int, num_head: int):
+    from .aoa import init_state as aoa_init_state
+
+    b = captions.shape[0]
+    hidden = params.language_lstm.w_hh.shape[1]
+
+    def body(state, tok):
+        logits, weighted, state = aoa_lrp_step(
+            params, feats, state, tok, stop_mask, num_head=num_head
+        )
+        return state, (logits, weighted)
+
+    _, (logits, weighted) = jax.lax.scan(
+        body, aoa_init_state(b, hidden, feats.v_proj.dtype),
+        captions[:, :num_steps].T,
+    )
+    return jnp.moveaxis(logits, 0, 1), jnp.moveaxis(weighted, 0, 1)
+
+
+def aoa_sample_lrp(params, feats, stop_mask, rng, *, start_token, end_token,
+                   num_steps, num_head, sample_method="sample",
+                   temperature=1.0, vocab_size=None):
+    from ..decoding.greedy import _sample_next
+    from .aoa import init_state as aoa_init_state
+
+    b = feats.v_proj.shape[0]
+    hidden = params.language_lstm.w_hh.shape[1]
+
+    def body(carry, srng):
+        state, token, unfinished = carry
+        _, weighted, state = aoa_lrp_step(
+            params, feats, state, token, stop_mask, num_head=num_head
+        )
+        wl = weighted.astype(jnp.float32)
+        if vocab_size is not None and wl.shape[-1] != vocab_size:
+            wl = jnp.where(jnp.arange(wl.shape[-1]) < vocab_size, wl, -1e9)
+        logprobs = jax.nn.log_softmax(wl, -1)
+        it, lp = _sample_next(srng, logprobs, sample_method, temperature)
+        unfinished = unfinished & (it != end_token)
+        it = it * unfinished
+        return (state, it, unfinished), (it, lp)
+
+    start = jnp.full((b,), start_token, jnp.int32)
+    unfin = jnp.ones((b,), bool)
+    _, (tokens, lps) = jax.lax.scan(
+        body,
+        (aoa_init_state(b, hidden, feats.v_proj.dtype), start, unfin),
         jax.random.split(rng, num_steps),
     )
     return tokens.T, lps.T
