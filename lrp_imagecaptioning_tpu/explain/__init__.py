@@ -6,6 +6,10 @@ from .rules import (
     stabilize,
 )
 from .explainer import (
+    AdaptiveGradCamExplainer,
+    AdaptiveGradientExplainer,
+    AdaptiveGuidedGradientExplainer,
+    AdaptiveLrpExplainer,
     AOAGradCamExplainer,
     AOAGradientExplainer,
     AOAGuidedGradientExplainer,
@@ -32,6 +36,12 @@ EXPLAINER_REGISTRY = {
         "gradient": AOAGradientExplainer,
         "guided_gradient": AOAGuidedGradientExplainer,
         "grad_cam": AOAGradCamExplainer,
+    },
+    "adaptive": {
+        "lrp": AdaptiveLrpExplainer,
+        "gradient": AdaptiveGradientExplainer,
+        "guided_gradient": AdaptiveGuidedGradientExplainer,
+        "grad_cam": AdaptiveGradCamExplainer,
     },
 }
 

@@ -301,6 +301,75 @@ class AOAGradCamExplainer(AOAGradientExplainer):
         return jax.vmap(lambda d: grad_cam(feats.raw[0], d))(word_exp.r_img_feature)
 
 
+class AdaptiveLrpExplainer(GridTDExplainerBase):
+    """LRP explainer for the adaptive model (ExplainAdaptiveAttention,
+    adaptiveattention.py:491; decode beam=3 max 20 per its
+    get_hidden_parameters, adaptiveattention.py:628)."""
+
+    EX_TYPE = "lrp"
+
+    def __init__(self, captioner, params, word_map, *, beam_size: int = 3,
+                 max_words: int = 20, language_double_bias_i: bool = True):
+        super().__init__(captioner, params, word_map, beam_size=beam_size,
+                         max_words=max_words,
+                         language_double_bias_i=language_double_bias_i)
+
+    def _make_stash(self, params, feats, tokens_in):
+        from .adaptive_lrp import stash_forward as ada_stash
+
+        return ada_stash(params.decoder, feats, tokens_in)
+
+    def _decoder_walk(self, params, feats, stash, targets):
+        from .adaptive_lrp import explain_all_words as ada_explain
+
+        return ada_explain(params.decoder, feats, stash, targets=targets)
+
+    def _cnn_stage(self, params, image, word_exp):
+        backward, _ = make_vgg_lrp_backward(params.encoder, image)
+        return jax.vmap(lambda r: backward(r[None])[0])(self._grid_seeds(word_exp))
+
+
+class AdaptiveGradientExplainer(AdaptiveLrpExplainer):
+    """ExplainAdaptiveGradient (adaptiveattention.py:851)."""
+
+    EX_TYPE = "gradient"
+    GUIDED = False
+
+    def _decoder_walk(self, params, feats, stash, targets):
+        from .adaptive_lrp import gradient_all_words as ada_grad
+
+        return ada_grad(params.decoder, feats, stash, targets=targets,
+                        guided=self.GUIDED)
+
+    def _cnn_stage(self, params, image, word_exp):
+        seeds = self._grid_seeds(word_exp)
+        return jax.vmap(
+            lambda d: vgg_gradient(params.encoder, image, d[None])[0]
+        )(seeds)
+
+
+class AdaptiveGuidedGradientExplainer(AdaptiveGradientExplainer):
+    """ExplainiAdaptiveGuidedGradient (adaptiveattention.py:1098)."""
+
+    EX_TYPE = "GuidedBackpropagate"
+    GUIDED = True
+
+    def _cnn_stage(self, params, image, word_exp):
+        seeds = self._grid_seeds(word_exp)
+        backward = make_vgg_guided_backward(params.encoder, image)
+        return jax.vmap(lambda d: backward(d[None])[0])(seeds)
+
+
+class AdaptiveGradCamExplainer(AdaptiveGradientExplainer):
+    """ExplainAdaptiveGradCam (adaptiveattention.py:1218)."""
+
+    EX_TYPE = "GradCam"
+
+    def _cnn_stage(self, params, image, word_exp):
+        feats = self.cap.encode(params, image)
+        return jax.vmap(lambda d: grad_cam(feats.raw[0], d))(word_exp.r_img_feature)
+
+
 class GridTDGradientExplainer(GridTDExplainerBase):
     """Plain gradient explainer (ExplainGridTDGradient, gridTDmodel.py:1214):
     manual decoder backward (with its documented approximations) + true CNN

@@ -132,7 +132,53 @@ class _AOAFamily:
         )
 
 
-FAMILIES = {"gridtd": _GridTDFamily, "aoa": _AOAFamily}
+class _AdaptiveFamily:
+    dropout_rate = 0.5
+
+    def __init__(self, cfg: ModelConfig, raw_dim: int):
+        self.cfg, self.raw_dim = cfg, raw_dim
+
+    def init(self, rng):
+        from . import adaptive
+
+        return adaptive.init_adaptive(rng, self.cfg, self.raw_dim)
+
+    def encode(self, decoder, raw, avg):
+        # adaptive shares the GridTD encoding (conv-projected grid + relu'd
+        # Linear global, adaptiveattention.py:147-156); no BU variant exists.
+        return gridtd.encode_features(decoder, raw, avg)
+
+    def init_state(self, b):
+        from . import adaptive
+
+        return adaptive.init_state(b, self.cfg.hidden_dim)
+
+    def step(self, decoder, feats, state, token, *, rng=None, train=False):
+        from . import adaptive
+
+        return adaptive.step(
+            decoder, feats, state, token, rng=rng, train=train,
+            dropout_rate=self.dropout_rate,
+        )
+
+    def forward(self, decoder, feats, captions, *, num_steps, ss_prob, rng, train):
+        from . import adaptive
+
+        return adaptive.forward(
+            decoder, feats, captions, num_steps=num_steps, ss_prob=ss_prob,
+            rng=rng, train=train, dropout_rate=self.dropout_rate,
+        )
+
+    def forward_lrp(self, *a, **k):
+        raise NotImplementedError(
+            "the adaptive model has no LRP-tuning modes (its reference config "
+            "exposes only cider_tune, config.py:42)"
+        )
+
+    sample_lrp = forward_lrp
+
+
+FAMILIES = {"gridtd": _GridTDFamily, "aoa": _AOAFamily, "adaptive": _AdaptiveFamily}
 
 
 class Captioner:
