@@ -430,7 +430,8 @@ class Trainer:
     # -- full fit -------------------------------------------------------
     def fit(self, train_ds: CaptionDataset, val_ds: CaptionDataset, *,
             epochs: int | None = None, state: TrainState | None = None,
-            validate_beam: int = 3, on_epoch_end: Callable | None = None):
+            validate_beam: int = 3, on_epoch_end: Callable | None = None,
+            save_checkpoints: bool = False):
         t = self.tcfg
         rng = jax.random.PRNGKey(t.seed)
         if state is None:
@@ -469,4 +470,13 @@ class Trainer:
             if on_epoch_end is not None:
                 on_epoch_end(state, epoch, dict(bleu4=bleu, cider=cider,
                                                 is_best=is_best))
+            elif save_checkpoints:
+                from .checkpoint import save_checkpoint
+
+                # the lrp mode tags epochs like the reference (train.py:148-151)
+                tag = f"{epoch}lrp" if mode == "lrp" else epoch
+                save_checkpoint(
+                    t.dataset, tag, epochs_since_improvement, state,
+                    bleu, cider, self.exp.save_path, self.cfg.encoder,
+                )
         return state, history
