@@ -33,6 +33,8 @@ class CaptionExplanation(NamedTuple):
     relevance_images: np.ndarray  # (T, H, W, 3) input-pixel relevance per word
     relevance_words: np.ndarray  # (T, T) linguistic relevance per word
     alphas: np.ndarray  # (T, P) attention maps per step
+    predictions: np.ndarray  # (T, V) raw decoder logits per step
+    betas: np.ndarray  # (T,) sentinel gates (zeros for models without one)
 
 
 class GridTDExplainerBase:
@@ -96,7 +98,11 @@ class GridTDExplainerBase:
             rel_imgs = word_exp.r_img_feature  # (T, P, C) region relevance
         else:
             rel_imgs = self._cnn_stage(params, image, word_exp)
-        return beam.tokens, beam.length, rel_imgs, word_exp.r_words, stash.alpha
+        beta = getattr(stash, "beta", None)
+        if beta is None:
+            beta = jnp.zeros(stash.predictions.shape[:1], jnp.float32)
+        return (beam.tokens, beam.length, rel_imgs, word_exp.r_words,
+                stash.alpha, stash.predictions, beta)
 
     def _grid_seeds(self, word_exp):
         """(T, P, C) decoder-walk output -> (T, h, w, C) CNN seeds."""
@@ -127,7 +133,7 @@ class GridTDExplainerBase:
     def explain_caption_arrays(self, image: np.ndarray) -> CaptionExplanation:
         """image: (1, H, W, 3) normalized float32.  Returns host arrays with
         invalid word positions stripped."""
-        tokens, length, rel_imgs, r_words, alphas = self._core(
+        tokens, length, rel_imgs, r_words, alphas, preds, betas = self._core(
             self.params, jnp.asarray(image)
         )
         tokens = np.asarray(tokens)
@@ -146,6 +152,8 @@ class GridTDExplainerBase:
             relevance_images=np.asarray(rel_imgs)[:t_count],
             relevance_words=np.asarray(r_words)[:t_count, : t_count + 1],
             alphas=np.asarray(alphas)[:t_count],
+            predictions=np.asarray(preds)[:t_count],
+            betas=np.asarray(betas)[:t_count],
         )
 
     def explain_caption(
@@ -436,9 +444,8 @@ class GridTDGuidedGradCamExplainer(GridTDGuidedGradientExplainer):
         return guided, cams
 
     def explain_caption_arrays(self, image):
-        tokens, length, (guided, cams), r_words, alphas = self._core(
-            self.params, jnp.asarray(image)
-        )
+        (tokens, length, (guided, cams), r_words, alphas, preds,
+         betas) = self._core(self.params, jnp.asarray(image))
         from ..utils.viz import upscale_attention
 
         guided = np.asarray(guided)
@@ -463,4 +470,6 @@ class GridTDGuidedGradCamExplainer(GridTDGuidedGradientExplainer):
             relevance_images=rel[:t_count],
             relevance_words=np.asarray(r_words)[:t_count, : t_count + 1],
             alphas=np.asarray(alphas)[:t_count],
+            predictions=np.asarray(preds)[:t_count],
+            betas=np.asarray(betas)[:t_count],
         )
