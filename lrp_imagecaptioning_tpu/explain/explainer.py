@@ -104,6 +104,31 @@ class GridTDExplainerBase:
         return (beam.tokens, beam.length, rel_imgs, word_exp.r_words,
                 stash.alpha, stash.predictions, beta)
 
+    # -- encoder-stage backends (dispatch on cfg.encoder) ----------------
+    def _lrp_backward_factory(self, params, image):
+        if self.cap.cfg.encoder.startswith("resnet"):
+            from .resnet_lrp import make_resnet_lrp_backward
+
+            return make_resnet_lrp_backward(params.encoder, image)[0]
+        return make_vgg_lrp_backward(params.encoder, image)[0]
+
+    def _guided_backward_factory(self, params, image):
+        if self.cap.cfg.encoder.startswith("resnet"):
+            from .resnet_lrp import make_resnet_guided_backward
+
+            return make_resnet_guided_backward(params.encoder, image)[0]
+        return make_vgg_guided_backward(params.encoder, image)
+
+    def _plain_gradient(self, params, image, seed):
+        if self.cap.cfg.encoder.startswith("resnet"):
+            from ..models.resnet import resnet_forward
+
+            _, vjp = jax.vjp(
+                lambda im: resnet_forward(params.encoder,
+                                          im.astype(jnp.float32)), image)
+            return vjp(seed)[0]
+        return vgg_gradient(params.encoder, image, seed)
+
     def _grid_seeds(self, word_exp):
         """(T, P, C) decoder-walk output -> (T, h, w, C) CNN seeds."""
         hw = int(np.sqrt(self.cap.cfg.num_pixels))
@@ -220,7 +245,7 @@ class GridTDLrpExplainer(GridTDExplainerBase):
         )
 
     def _cnn_stage(self, params, image, word_exp):
-        backward, _ = make_vgg_lrp_backward(params.encoder, image)
+        backward = self._lrp_backward_factory(params, image)
         return jax.vmap(lambda r: backward(r[None])[0])(self._grid_seeds(word_exp))
 
 
@@ -261,7 +286,7 @@ class AOALrpExplainer(GridTDExplainerBase):
         )
 
     def _cnn_stage(self, params, image, word_exp):
-        backward, _ = make_vgg_lrp_backward(params.encoder, image)
+        backward = self._lrp_backward_factory(params, image)
         return jax.vmap(lambda r: backward(r[None])[0])(self._grid_seeds(word_exp))
 
 
@@ -283,7 +308,7 @@ class AOAGradientExplainer(AOALrpExplainer):
     def _cnn_stage(self, params, image, word_exp):
         seeds = self._grid_seeds(word_exp)
         return jax.vmap(
-            lambda d: vgg_gradient(params.encoder, image, d[None])[0]
+            lambda d: self._plain_gradient(params, image, d[None])[0]
         )(seeds)
 
 
@@ -295,7 +320,7 @@ class AOAGuidedGradientExplainer(AOAGradientExplainer):
 
     def _cnn_stage(self, params, image, word_exp):
         seeds = self._grid_seeds(word_exp)
-        backward = make_vgg_guided_backward(params.encoder, image)
+        backward = self._guided_backward_factory(params, image)
         return jax.vmap(lambda d: backward(d[None])[0])(seeds)
 
 
@@ -333,7 +358,7 @@ class AdaptiveLrpExplainer(GridTDExplainerBase):
         return ada_explain(params.decoder, feats, stash, targets=targets)
 
     def _cnn_stage(self, params, image, word_exp):
-        backward, _ = make_vgg_lrp_backward(params.encoder, image)
+        backward = self._lrp_backward_factory(params, image)
         return jax.vmap(lambda r: backward(r[None])[0])(self._grid_seeds(word_exp))
 
 
@@ -352,7 +377,7 @@ class AdaptiveGradientExplainer(AdaptiveLrpExplainer):
     def _cnn_stage(self, params, image, word_exp):
         seeds = self._grid_seeds(word_exp)
         return jax.vmap(
-            lambda d: vgg_gradient(params.encoder, image, d[None])[0]
+            lambda d: self._plain_gradient(params, image, d[None])[0]
         )(seeds)
 
 
@@ -364,7 +389,7 @@ class AdaptiveGuidedGradientExplainer(AdaptiveGradientExplainer):
 
     def _cnn_stage(self, params, image, word_exp):
         seeds = self._grid_seeds(word_exp)
-        backward = make_vgg_guided_backward(params.encoder, image)
+        backward = self._guided_backward_factory(params, image)
         return jax.vmap(lambda d: backward(d[None])[0])(seeds)
 
 
@@ -395,7 +420,7 @@ class GridTDGradientExplainer(GridTDExplainerBase):
     def _cnn_stage(self, params, image, word_exp):
         seeds = self._grid_seeds(word_exp)
         return jax.vmap(
-            lambda d: vgg_gradient(params.encoder, image, d[None])[0]
+            lambda d: self._plain_gradient(params, image, d[None])[0]
         )(seeds)
 
 
@@ -407,7 +432,7 @@ class GridTDGuidedGradientExplainer(GridTDGradientExplainer):
 
     def _cnn_stage(self, params, image, word_exp):
         seeds = self._grid_seeds(word_exp)
-        backward = make_vgg_guided_backward(params.encoder, image)
+        backward = self._guided_backward_factory(params, image)
         return jax.vmap(lambda d: backward(d[None])[0])(seeds)
 
 
@@ -436,7 +461,7 @@ class GridTDGuidedGradCamExplainer(GridTDGuidedGradientExplainer):
 
     def _cnn_stage(self, params, image, word_exp):
         seeds = self._grid_seeds(word_exp)
-        backward = make_vgg_guided_backward(params.encoder, image)
+        backward = self._guided_backward_factory(params, image)
         guided = jax.vmap(lambda d: backward(d[None])[0])(seeds)
         feats = self.cap.encode(params, image)
         cams = jax.vmap(lambda d: grad_cam(feats.raw[0], d))(word_exp.r_img_feature)

@@ -1,0 +1,194 @@
+"""ResNet-stage LRP and guided-backprop walks.
+
+Applies the reference's hook rules (LRPtools/lrp_wrapper.py:42-56 preset) over
+the explicit ResNet structure:
+
+- Conv2d -> alpha-beta (alpha=1, beta=0, bias-free convs),
+- BatchNorm2d -> the |xw| / (|xw| + |b|) rule (lrp_modules.py:197-220) on the
+  inference-mode scale/shift form,
+- ReLU -> identity (guided variant: clamp(grad,0) * (out > 0)),
+- MaxPool -> winner-take-all via the gradient trick,
+- residual Add -> proportional split with the half-half zero-output guard
+  (lrp_modules.py:256-280); exact zeros contribute 0 through the ratio term
+  instead of the reference's latent inf (documented divergence — the reference
+  would trip its own isinf assert there).
+
+The forward stash is captured once per image; the returned backward closures
+are linear in the relevance, so per-word explanation is vmap-able like the
+VGG path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.resnet import (
+    BottleneckParams,
+    ConvBN,
+    ResNetParams,
+    bn,
+    conv,
+    maxpool3x3s2,
+)
+from .rules import EPSILON, safe_divide
+
+
+def _conv_ab_vjp(p: ConvBN, x: jax.Array):
+    """(z+, linear-vjp) for the alpha-beta rule of a strided, bias-free conv."""
+    w_pos = ConvBN(jnp.maximum(p.weight, 0.0), p.bn_scale, p.bn_shift, p.stride)
+    w_neg = ConvBN(jnp.minimum(p.weight, 0.0), p.bn_scale, p.bn_shift, p.stride)
+
+    def pos_forward(xx):
+        return conv(w_pos, jnp.maximum(xx, 0.0)) + conv(w_neg, jnp.minimum(xx, 0.0))
+
+    z, vjp = jax.vjp(pos_forward, x.astype(jnp.float32))
+    return z, vjp
+
+
+def _bn_abs_rule(p: ConvBN, x: jax.Array, r: jax.Array) -> jax.Array:
+    xw = x * p.bn_scale
+    return safe_divide(jnp.abs(xw), jnp.abs(xw) + jnp.abs(p.bn_shift)) * r
+
+
+def _add_split(x1: jax.Array, x2: jax.Array, r: jax.Array):
+    out = x1 + x2
+    zero = out == 0
+    denom = out + EPSILON * jnp.sign(out)
+    r1 = jnp.where(zero, 0.0, r * x1 / jnp.where(zero, 1.0, denom))
+    r2 = jnp.where(zero, 0.0, r * x2 / jnp.where(zero, 1.0, denom))
+    half = r * 0.5 * zero
+    return r1 + half, r2 + half
+
+
+def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array):
+    """Forward-stash once, return (backward(r_feature) -> r_image, features)."""
+    x = image.astype(jnp.float32)
+
+    # stem
+    stem_x = x
+    stem_z, stem_vjp = _conv_ab_vjp(params.stem, x)
+    a = conv(params.stem, x)
+    stem_a = a
+    x = jax.nn.relu(bn(params.stem, a))
+    pool_in = x
+    _, pool_vjp = jax.vjp(maxpool3x3s2, x)
+    pool_z = maxpool3x3s2(x)
+    x = pool_z
+
+    block_recs = []
+    for stage in params.layers:
+        for p in stage:
+            rec = {"x_in": x}
+            z1, v1 = _conv_ab_vjp(p.conv1, x)
+            a1 = conv(p.conv1, x)
+            r1 = jax.nn.relu(bn(p.conv1, a1))
+            z2, v2 = _conv_ab_vjp(p.conv2, r1)
+            a2 = conv(p.conv2, r1)
+            r2 = jax.nn.relu(bn(p.conv2, a2))
+            z3, v3 = _conv_ab_vjp(p.conv3, r2)
+            a3 = conv(p.conv3, r2)
+            b3 = bn(p.conv3, a3)
+            if p.downsample is not None:
+                zd, vd = _conv_ab_vjp(p.downsample, x)
+                ad = conv(p.downsample, x)
+                idn = bn(p.downsample, ad)
+                rec.update(zd=zd, vd=vd, ad=ad)
+            else:
+                idn = x
+            rec.update(p=p, z1=z1, v1=v1, a1=a1, r1=r1, z2=z2, v2=v2, a2=a2,
+                       r2=r2, z3=z3, v3=v3, a3=a3, b3=b3, idn=idn)
+            x = jax.nn.relu(b3 + idn)
+            block_recs.append(rec)
+    features = x
+
+    def backward(r: jax.Array) -> jax.Array:
+        r = r.astype(jnp.float32)
+        for rec in reversed(block_recs):
+            p = rec["p"]
+            r_b3, r_idn = _add_split(rec["b3"], rec["idn"], r)  # relu identity
+            # main path
+            rm = _bn_abs_rule(p.conv3, rec["a3"], r_b3)
+            (rm,) = rec["v3"](safe_divide(rm, rec["z3"]))
+            rm = rec["r2"] * rm
+            rm = _bn_abs_rule(p.conv2, rec["a2"], rm)
+            (rm,) = rec["v2"](safe_divide(rm, rec["z2"]))
+            rm = rec["r1"] * rm
+            rm = _bn_abs_rule(p.conv1, rec["a1"], rm)
+            (rm,) = rec["v1"](safe_divide(rm, rec["z1"]))
+            rm = rec["x_in"] * rm
+            # identity path
+            if p.downsample is not None:
+                ri = _bn_abs_rule(p.downsample, rec["ad"], r_idn)
+                (ri,) = rec["vd"](safe_divide(ri, rec["zd"]))
+                ri = rec["x_in"] * ri
+            else:
+                ri = r_idn
+            r = rm + ri
+        # stem: maxpool winner, relu identity, bn, conv
+        (g,) = pool_vjp(safe_divide(r, pool_z))
+        r = pool_in * g
+        r = _bn_abs_rule(params.stem, stem_a, r)
+        (g,) = stem_vjp(safe_divide(r, stem_z))
+        return stem_x * g
+
+    return backward, features
+
+
+def make_resnet_guided_backward(params: ResNetParams, image: jax.Array):
+    """Guided backprop through ResNet: the true linear backward of every
+    conv/bn/pool with the guided rule ``clamp(grad, 0) * (relu_out > 0)`` at
+    EVERY ReLU (the reference registers its hooks on all ReLU children,
+    gridTDmodel.py:1687-1691)."""
+    x = image.astype(jnp.float32)
+
+    def guided_relu(g, out):
+        return jnp.maximum(g, 0.0) * (out > 0)
+
+    def track(fn, xx):
+        return jax.vjp(fn, xx)
+
+    stem_out, stem_vjp = track(lambda t: bn(params.stem, conv(params.stem, t)), x)
+    relu1 = jax.nn.relu(stem_out)
+    _, pool_vjp = track(maxpool3x3s2, relu1)
+    x = maxpool3x3s2(relu1)
+
+    block_recs = []
+    for stage in params.layers:
+        for p in stage:
+            rec = {}
+            z1, v1 = track(lambda t, p=p: bn(p.conv1, conv(p.conv1, t)), x)
+            r1 = jax.nn.relu(z1)
+            z2, v2 = track(lambda t, p=p: bn(p.conv2, conv(p.conv2, t)), r1)
+            r2 = jax.nn.relu(z2)
+            z3, v3 = track(lambda t, p=p: bn(p.conv3, conv(p.conv3, t)), r2)
+            if p.downsample is not None:
+                _, vd = track(
+                    lambda t, p=p: bn(p.downsample, conv(p.downsample, t)), x
+                )
+                idn = bn(p.downsample, conv(p.downsample, x))
+            else:
+                vd, idn = None, x
+            out = jax.nn.relu(z3 + idn)
+            rec.update(v1=v1, v2=v2, v3=v3, vd=vd, r1=r1, r2=r2, out=out)
+            block_recs.append(rec)
+            x = out
+    features = x
+
+    def backward(g):
+        g = g.astype(jnp.float32)
+        for rec in reversed(block_recs):
+            g = guided_relu(g, rec["out"])
+            gm = rec["v3"](g)[0]
+            gm = guided_relu(gm, rec["r2"])
+            gm = rec["v2"](gm)[0]
+            gm = guided_relu(gm, rec["r1"])
+            gm = rec["v1"](gm)[0]
+            gi = rec["vd"](g)[0] if rec["vd"] is not None else g
+            g = gm + gi
+        (g,) = pool_vjp(g)
+        g = guided_relu(g, relu1)
+        (g,) = stem_vjp(g)
+        return g
+
+    return backward, features

@@ -196,10 +196,19 @@ class Captioner:
         self.family = FAMILIES[base_type](cfg, self.raw_dim)
 
     # -- params -----------------------------------------------------------
+    def _init_encoder(self, rng):
+        if self.cfg.is_bu:
+            return None
+        if self.cfg.encoder.startswith("resnet"):
+            from .resnet import init_resnet
+
+            return init_resnet(rng, self.cfg.encoder)
+        return init_vgg16(rng)
+
     def init(self, rng: jax.Array) -> CaptionerParams:
         enc_rng, dec_rng = jax.random.split(rng)
-        encoder = None if self.cfg.is_bu else init_vgg16(enc_rng)
-        return CaptionerParams(encoder, self.family.init(dec_rng))
+        return CaptionerParams(self._init_encoder(enc_rng),
+                               self.family.init(dec_rng))
 
     # -- encoding ---------------------------------------------------------
     def encode(
@@ -210,7 +219,12 @@ class Captioner:
         features for the BU path."""
         if self.cfg.is_bu:
             return self.family.encode(params.decoder, visual, None)
-        raw, avg = encode_image_grid(params.encoder, visual)
+        if self.cfg.encoder.startswith("resnet"):
+            from .resnet import encode_image_grid_resnet
+
+            raw, avg = encode_image_grid_resnet(params.encoder, visual)
+        else:
+            raw, avg = encode_image_grid(params.encoder, visual)
         if stop_encoder_gradient:  # frozen CNN (train.py:102-104)
             raw = jax.lax.stop_gradient(raw)
             avg = jax.lax.stop_gradient(avg)

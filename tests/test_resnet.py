@@ -1,0 +1,134 @@
+"""ResNet encoder: bottleneck forward vs torch, LRP rules, end-to-end
+explainers with a resnet50 backbone."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from lrp_imagecaptioning_tpu.config import ModelConfig
+from lrp_imagecaptioning_tpu.data.vocab import build_word_map
+from lrp_imagecaptioning_tpu.explain.resnet_lrp import (
+    _add_split,
+    _bn_abs_rule,
+    make_resnet_guided_backward,
+    make_resnet_lrp_backward,
+)
+from lrp_imagecaptioning_tpu.models.captioner import Captioner
+from lrp_imagecaptioning_tpu.models.resnet import (
+    BottleneckParams,
+    bottleneck_forward,
+    convbn_from_torch,
+    init_resnet,
+    resnet_forward,
+)
+
+
+def _torch_convbn(cin, cout, k, stride, rng):
+    conv = torch.nn.Conv2d(cin, cout, k, stride=stride, padding=(k - 1) // 2,
+                           bias=False)
+    bn = torch.nn.BatchNorm2d(cout).eval()
+    with torch.no_grad():
+        conv.weight.copy_(torch.tensor(
+            rng.normal(size=conv.weight.shape).astype(np.float32) * 0.1))
+        bn.weight.copy_(torch.tensor(
+            rng.uniform(0.5, 1.5, cout).astype(np.float32)))
+        bn.bias.copy_(torch.tensor(rng.normal(size=cout).astype(np.float32)))
+        bn.running_mean.copy_(torch.tensor(
+            rng.normal(size=cout).astype(np.float32)))
+        bn.running_var.copy_(torch.tensor(
+            rng.uniform(0.5, 2.0, cout).astype(np.float32)))
+    return conv, bn
+
+
+def test_bottleneck_matches_torch():
+    rng = np.random.default_rng(0)
+    cin, planes, stride = 8, 4, 2
+    c1, b1 = _torch_convbn(cin, planes, 1, 1, rng)
+    c2, b2 = _torch_convbn(planes, planes, 3, stride, rng)
+    c3, b3 = _torch_convbn(planes, planes * 4, 1, 1, rng)
+    cd, bd = _torch_convbn(cin, planes * 4, 1, stride, rng)
+
+    def cbn(c, b, s=1):
+        return convbn_from_torch(
+            c.weight.detach(), b.weight.detach(), b.bias.detach(),
+            b.running_mean, b.running_var, stride=s,
+        )
+
+    params = BottleneckParams(
+        conv1=cbn(c1, b1), conv2=cbn(c2, b2, stride), conv3=cbn(c3, b3),
+        downsample=cbn(cd, bd, stride),
+    )
+    x = rng.normal(size=(1, 8, 8, cin)).astype(np.float32)
+    got = np.asarray(bottleneck_forward(params, jnp.asarray(x)))
+
+    xt = torch.tensor(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        out = torch.relu(b1(c1(xt)))
+        out = torch.relu(b2(c2(out)))
+        out = b3(c3(out))
+        want = torch.relu(out + bd(cd(xt))).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_bn_abs_rule_matches_reference_formula():
+    rng = np.random.default_rng(1)
+    from lrp_imagecaptioning_tpu.models.resnet import ConvBN
+
+    c = 6
+    p = ConvBN(jnp.zeros((1, 1, 1, c)),
+               jnp.asarray(rng.uniform(0.5, 1.5, c).astype(np.float32)),
+               jnp.asarray(rng.normal(size=c).astype(np.float32)), 1)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, c)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(1, 4, 4, c)).astype(np.float32))
+    got = np.asarray(_bn_abs_rule(p, x, r))
+    xw = np.asarray(x) * np.asarray(p.bn_scale)
+    want = np.abs(xw) / (np.abs(xw) + np.abs(np.asarray(p.bn_shift))) * np.asarray(r)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_add_split_conserves_and_handles_zero():
+    x1 = jnp.asarray([1.0, 2.0, -1.0, 0.0])
+    x2 = jnp.asarray([1.0, -1.0, 1.0, 0.0])
+    r = jnp.asarray([1.0, 1.0, 1.0, 1.0])
+    r1, r2 = _add_split(x1, x2, r)
+    # zero-sum output -> half/half (lrp_modules.py:264-274)
+    np.testing.assert_allclose(np.asarray(r1)[3], 0.5)
+    np.testing.assert_allclose(np.asarray(r2)[3], 0.5)
+    # proportional elsewhere (epsilon-stabilized)
+    assert np.asarray(r1)[0] == pytest.approx(0.5, abs=0.01)
+
+
+def test_resnet_lrp_and_guided_run():
+    params = init_resnet(jax.random.PRNGKey(0), "resnet50")
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 0.5
+    feats = resnet_forward(params, img)
+    assert feats.shape == (1, 2, 2, 2048)
+    backward, f2 = make_resnet_lrp_backward(params, img)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(feats), rtol=1e-4,
+                               atol=1e-4)
+    r = jax.jit(backward)(jax.random.normal(jax.random.PRNGKey(2), feats.shape))
+    assert np.isfinite(np.asarray(r)).all()
+    assert np.abs(np.asarray(r)).sum() > 0
+    gb, _ = make_resnet_guided_backward(params, img)
+    g = jax.jit(gb)(jnp.abs(jax.random.normal(jax.random.PRNGKey(3), feats.shape)))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_resnet_captioner_and_explainer():
+    wm = build_word_map([[f"w{i}"] for i in range(25)], min_word_freq=1)
+    cfg = ModelConfig(model_type="gridtd", encoder="resnet50", embed_dim=16,
+                      hidden_dim=24, vocab_size=len(wm), num_pixels=4)
+    cap = Captioner(cfg)
+    params = cap.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    image = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    from lrp_imagecaptioning_tpu.explain import build_explainer
+
+    for name in ["lrp", "gradient", "guided_gradient"]:
+        e = build_explainer(name, cap, params, wm, max_words=5)
+        out = e.explain_caption_arrays(image)
+        assert out.relevance_images.shape[1:] == (64, 64, 3)
+        assert np.isfinite(out.relevance_images).all()
