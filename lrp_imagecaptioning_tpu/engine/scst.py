@@ -41,20 +41,33 @@ def get_self_critical_reward(
 ) -> np.ndarray:
     """Returns (B, Ts) per-timestep advantage."""
     b = gen_result.shape[0]
-    hyps = [array_to_str(gen_result[i], word_map) for i in range(b)]
-    hyps += [array_to_str(greedy_res[i], word_map) for i in range(b)]
-    refs = [
-        [array_to_str(all_caps[i][j], word_map) for j in range(len(all_caps[i]))]
-        for i in range(b)
-    ]
-    refs = refs + refs  # same references for sampled and greedy halves
 
     scores = np.zeros(2 * b)
     if cider_reward_weight > 0:
-        _, cider = cider_score(hyps, refs)
+        # hot path: token ids straight into the native scorer (no strings);
+        # array_to_str semantics in id space = drop <start>/<pad>, keep the rest
+        skip = {word_map.start, word_map.pad}
+
+        def ids(row):
+            return np.asarray([int(t) for t in row if int(t) not in skip],
+                              np.int32)
+
+        hyp_ids = [ids(gen_result[i]) for i in range(b)]
+        hyp_ids += [ids(greedy_res[i]) for i in range(b)]
+        ref_ids = [[ids(c) for c in all_caps[i]] for i in range(b)]
+        from ..metrics.native import cider_score_ids
+
+        cider = cider_score_ids(hyp_ids, ref_ids + ref_ids)
         scores = scores + cider_reward_weight * cider
     if bleu_reward_weight > 0:
-        _, per = corpus_bleu(hyps, refs)
+        hyps = [array_to_str(gen_result[i], word_map) for i in range(b)]
+        hyps += [array_to_str(greedy_res[i], word_map) for i in range(b)]
+        refs = [
+            [array_to_str(all_caps[i][j], word_map)
+             for j in range(len(all_caps[i]))]
+            for i in range(b)
+        ]
+        _, per = corpus_bleu(hyps, refs + refs)
         scores = scores + bleu_reward_weight * np.asarray(per[3])
     adv = scores[:b] - scores[b:]
     return np.repeat(adv[:, None], gen_result.shape[1], axis=1).astype(np.float32)
