@@ -27,9 +27,14 @@ def test_native_matches_python(seed):
 
 @pytest.mark.skipif(not native_available(), reason="no C++ toolchain")
 def test_native_handles_empty_hypothesis():
+    # distinct reference documents so idf is nonzero (an ngram shared by every
+    # image has idf = log(N) - log(df) = 0 and contributes nothing)
     hyps = [np.zeros(0, np.int32), np.asarray([1, 2, 3], np.int32)]
-    refs = [[np.asarray([1, 2, 3], np.int32)]] * 2
+    refs = [[np.asarray([7, 8, 9], np.int32)],
+            [np.asarray([1, 2, 3], np.int32)]]
     got = cider_score_ids(hyps, refs)
+    want = _python_fallback(hyps, refs, 6.0)
+    np.testing.assert_allclose(got, want, atol=1e-12)
     assert np.isfinite(got).all()
     assert got[1] > got[0]
 
