@@ -43,10 +43,18 @@ def test_scst_reward_uses_ids():
     from lrp_imagecaptioning_tpu.data.vocab import build_word_map
     from lrp_imagecaptioning_tpu.engine.scst import get_self_critical_reward
 
-    wm = build_word_map([["a", "dog", "runs"]], min_word_freq=1)
-    gen = np.asarray([[wm["a"], wm["dog"], 0, 0]])
-    greedy = np.asarray([[wm["a"], wm["runs"], 0, 0]])
-    caps = np.asarray([[[wm.start, wm["a"], wm["dog"], wm.end, 0]]])
+    wm = build_word_map([["a", "dog", "runs", "cat", "sits"]], min_word_freq=1)
+    # batch of 2 with distinct references so idf does not degenerate
+    gen = np.asarray([[wm["a"], wm["dog"], 0, 0],
+                      [wm["cat"], wm["runs"], 0, 0]])
+    greedy = np.asarray([[wm["a"], wm["runs"], 0, 0],
+                         [wm["cat"], wm["runs"], 0, 0]])
+    caps = np.asarray([
+        [[wm.start, wm["a"], wm["dog"], wm.end, 0]],
+        [[wm.start, wm["cat"], wm["sits"], wm.end, 0]],
+    ])
     rew = get_self_critical_reward(greedy, caps, gen, wm)
-    assert rew.shape == (1, 4)
-    assert rew[0, 0] > 0  # sampled matches refs better than greedy
+    assert rew.shape == (2, 4)
+    assert rew[0, 0] > 0  # sampled matches image-0 refs better than greedy
+    # per-image reward broadcast over timesteps
+    assert np.all(rew[0] == rew[0, 0])
