@@ -54,6 +54,7 @@ class GridTDExplainerBase:
         beam_size: int = 2,  # reference uses beam=2 for explanation decode
         max_words: int = 20,
         language_double_bias_i: bool = True,
+        cnn_word_chunk: int = 8,
     ):
         self.cap = captioner
         self.params = params
@@ -61,6 +62,7 @@ class GridTDExplainerBase:
         self.beam_size = beam_size
         self.max_words = max_words
         self.quirk = language_double_bias_i
+        self.cnn_word_chunk = cnn_word_chunk
         self._core = jax.jit(self._explain_core)
 
     # -- subclass hooks --------------------------------------------------
@@ -135,6 +137,19 @@ class GridTDExplainerBase:
         return word_exp.r_img_feature.reshape(
             self.max_words, hw, hw, self.cap.raw_dim
         )
+
+    def _map_words(self, fn, seeds):
+        """Apply a per-word CNN backward over the word axis in chunks:
+        vmap within a chunk, lax.map across chunks.  Bounds the live
+        activation memory at chunk_size x (one image's conv stash) so large
+        batch x word products fit in HBM."""
+        chunk = self.cnn_word_chunk
+        T = seeds.shape[0]
+        if chunk and T > chunk and T % chunk == 0:
+            seeds_r = seeds.reshape(T // chunk, chunk, *seeds.shape[1:])
+            out = jax.lax.map(lambda s: jax.vmap(fn)(s), seeds_r)
+            return out.reshape(T, *out.shape[2:])
+        return jax.vmap(fn)(seeds)
 
 
     def explain_batch(self, images: jax.Array):
@@ -246,7 +261,8 @@ class GridTDLrpExplainer(GridTDExplainerBase):
 
     def _cnn_stage(self, params, image, word_exp):
         backward = self._lrp_backward_factory(params, image)
-        return jax.vmap(lambda r: backward(r[None])[0])(self._grid_seeds(word_exp))
+        return self._map_words(lambda r: backward(r[None])[0],
+                               self._grid_seeds(word_exp))
 
 
 class AOALrpExplainer(GridTDExplainerBase):
@@ -287,7 +303,8 @@ class AOALrpExplainer(GridTDExplainerBase):
 
     def _cnn_stage(self, params, image, word_exp):
         backward = self._lrp_backward_factory(params, image)
-        return jax.vmap(lambda r: backward(r[None])[0])(self._grid_seeds(word_exp))
+        return self._map_words(lambda r: backward(r[None])[0],
+                               self._grid_seeds(word_exp))
 
 
 class AOAGradientExplainer(AOALrpExplainer):
@@ -307,9 +324,9 @@ class AOAGradientExplainer(AOALrpExplainer):
 
     def _cnn_stage(self, params, image, word_exp):
         seeds = self._grid_seeds(word_exp)
-        return jax.vmap(
-            lambda d: self._plain_gradient(params, image, d[None])[0]
-        )(seeds)
+        return self._map_words(
+            lambda d: self._plain_gradient(params, image, d[None])[0], seeds
+        )
 
 
 class AOAGuidedGradientExplainer(AOAGradientExplainer):
@@ -321,7 +338,7 @@ class AOAGuidedGradientExplainer(AOAGradientExplainer):
     def _cnn_stage(self, params, image, word_exp):
         seeds = self._grid_seeds(word_exp)
         backward = self._guided_backward_factory(params, image)
-        return jax.vmap(lambda d: backward(d[None])[0])(seeds)
+        return self._map_words(lambda d: backward(d[None])[0], seeds)
 
 
 class AOAGradCamExplainer(AOAGradientExplainer):
@@ -359,7 +376,8 @@ class AdaptiveLrpExplainer(GridTDExplainerBase):
 
     def _cnn_stage(self, params, image, word_exp):
         backward = self._lrp_backward_factory(params, image)
-        return jax.vmap(lambda r: backward(r[None])[0])(self._grid_seeds(word_exp))
+        return self._map_words(lambda r: backward(r[None])[0],
+                               self._grid_seeds(word_exp))
 
 
 class AdaptiveGradientExplainer(AdaptiveLrpExplainer):
@@ -376,9 +394,9 @@ class AdaptiveGradientExplainer(AdaptiveLrpExplainer):
 
     def _cnn_stage(self, params, image, word_exp):
         seeds = self._grid_seeds(word_exp)
-        return jax.vmap(
-            lambda d: self._plain_gradient(params, image, d[None])[0]
-        )(seeds)
+        return self._map_words(
+            lambda d: self._plain_gradient(params, image, d[None])[0], seeds
+        )
 
 
 class AdaptiveGuidedGradientExplainer(AdaptiveGradientExplainer):
@@ -390,7 +408,7 @@ class AdaptiveGuidedGradientExplainer(AdaptiveGradientExplainer):
     def _cnn_stage(self, params, image, word_exp):
         seeds = self._grid_seeds(word_exp)
         backward = self._guided_backward_factory(params, image)
-        return jax.vmap(lambda d: backward(d[None])[0])(seeds)
+        return self._map_words(lambda d: backward(d[None])[0], seeds)
 
 
 class AdaptiveGradCamExplainer(AdaptiveGradientExplainer):
@@ -419,9 +437,9 @@ class GridTDGradientExplainer(GridTDExplainerBase):
 
     def _cnn_stage(self, params, image, word_exp):
         seeds = self._grid_seeds(word_exp)
-        return jax.vmap(
-            lambda d: self._plain_gradient(params, image, d[None])[0]
-        )(seeds)
+        return self._map_words(
+            lambda d: self._plain_gradient(params, image, d[None])[0], seeds
+        )
 
 
 class GridTDGuidedGradientExplainer(GridTDGradientExplainer):
@@ -433,7 +451,7 @@ class GridTDGuidedGradientExplainer(GridTDGradientExplainer):
     def _cnn_stage(self, params, image, word_exp):
         seeds = self._grid_seeds(word_exp)
         backward = self._guided_backward_factory(params, image)
-        return jax.vmap(lambda d: backward(d[None])[0])(seeds)
+        return self._map_words(lambda d: backward(d[None])[0], seeds)
 
 
 class GridTDGradCamExplainer(GridTDGradientExplainer):
@@ -462,7 +480,7 @@ class GridTDGuidedGradCamExplainer(GridTDGuidedGradientExplainer):
     def _cnn_stage(self, params, image, word_exp):
         seeds = self._grid_seeds(word_exp)
         backward = self._guided_backward_factory(params, image)
-        guided = jax.vmap(lambda d: backward(d[None])[0])(seeds)
+        guided = self._map_words(lambda d: backward(d[None])[0], seeds)
         feats = self.cap.encode(params, image)
         cams = jax.vmap(lambda d: grad_cam(feats.raw[0], d))(word_exp.r_img_feature)
         # stash CAMs for the host-side multiply (pyramid expand is host skimage)
