@@ -7,6 +7,8 @@ from .rules import (
 )
 from .explainer import (
     AdaptiveGradCamExplainer,
+    AdaptiveGuidedGradCamExplainer,
+    AOAGuidedGradCamExplainer,
     AdaptiveGradientExplainer,
     AdaptiveGuidedGradientExplainer,
     AdaptiveLrpExplainer,
@@ -36,12 +38,14 @@ EXPLAINER_REGISTRY = {
         "gradient": AOAGradientExplainer,
         "guided_gradient": AOAGuidedGradientExplainer,
         "grad_cam": AOAGradCamExplainer,
+        "guided_grad_cam": AOAGuidedGradCamExplainer,
     },
     "adaptive": {
         "lrp": AdaptiveLrpExplainer,
         "gradient": AdaptiveGradientExplainer,
         "guided_gradient": AdaptiveGuidedGradientExplainer,
         "grad_cam": AdaptiveGradCamExplainer,
+        "guided_grad_cam": AdaptiveGuidedGradCamExplainer,
     },
 }
 

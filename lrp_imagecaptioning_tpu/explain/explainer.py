@@ -351,6 +351,60 @@ class AOAGradCamExplainer(AOAGradientExplainer):
         return jax.vmap(lambda d: grad_cam(feats.raw[0], d))(word_exp.r_img_feature)
 
 
+class GuidedGradCamMixin:
+    """Shared Guided Grad-CAM machinery: guided-backprop pixel gradients
+    multiplied on host by the pyramid-expanded CAM (the reference pattern at
+    gridTDmodel.py:1812-1833, aoamodel.py:1714+, adaptiveattention.py:1261+)."""
+
+    EX_TYPE = "GuidedGradCam"
+
+    def _cnn_stage(self, params, image, word_exp):
+        seeds = self._grid_seeds(word_exp)
+        backward = self._guided_backward_factory(params, image)
+        guided = self._map_words(lambda d: backward(d[None])[0], seeds)
+        feats = self.cap.encode(params, image)
+        cams = jax.vmap(lambda d: grad_cam(feats.raw[0], d))(word_exp.r_img_feature)
+        return guided, cams
+
+    def explain_caption_arrays(self, image):
+        (tokens, length, (guided, cams), r_words, alphas, preds,
+         betas) = self._core(self.params, jnp.asarray(image))
+        from ..utils.viz import upscale_attention
+
+        guided = np.asarray(guided)
+        cams = np.asarray(cams)
+        hw = int(np.sqrt(self.cap.cfg.num_pixels))
+        upscale = image.shape[1] // hw
+        expanded = np.stack([
+            upscale_attention(c, (hw, hw), upscale=upscale, sigma=20.0)
+            for c in cams
+        ])
+        rel = guided * expanded[..., None]
+        tokens = np.asarray(tokens)
+        length = int(length)
+        words_ids = tokens[1:length]
+        t_count = len(words_ids)
+        if t_count and words_ids[-1] == self.word_map.end:
+            t_count -= 1
+        rev = self.word_map.id_to_word
+        return CaptionExplanation(
+            caption=[rev.get(int(w), "<unk>") for w in words_ids[:t_count]],
+            tokens=tokens[:length],
+            relevance_images=rel[:t_count],
+            relevance_words=np.asarray(r_words)[:t_count, : t_count + 1],
+            alphas=np.asarray(alphas)[:t_count],
+            predictions=np.asarray(preds)[:t_count],
+            betas=np.asarray(betas)[:t_count],
+        )
+
+
+class AOAGuidedGradCamExplainer(GuidedGradCamMixin, AOAGuidedGradientExplainer):
+    """AoA Guided Grad-CAM (ExplainAOAGuidedGradCam, aoamodel.py:1714)."""
+
+
+
+
+
 class AdaptiveLrpExplainer(GridTDExplainerBase):
     """LRP explainer for the adaptive model (ExplainAdaptiveAttention,
     adaptiveattention.py:491; decode beam=3 max 20 per its
@@ -421,6 +475,11 @@ class AdaptiveGradCamExplainer(AdaptiveGradientExplainer):
         return jax.vmap(lambda d: grad_cam(feats.raw[0], d))(word_exp.r_img_feature)
 
 
+class AdaptiveGuidedGradCamExplainer(GuidedGradCamMixin,
+                                     AdaptiveGuidedGradientExplainer):
+    """ExplainAdaptiveGuidedGradCam (adaptiveattention.py:1261)."""
+
+
 class GridTDGradientExplainer(GridTDExplainerBase):
     """Plain gradient explainer (ExplainGridTDGradient, gridTDmodel.py:1214):
     manual decoder backward (with its documented approximations) + true CNN
@@ -469,50 +528,9 @@ class GridTDGradCamExplainer(GridTDGradientExplainer):
         )(word_exp.r_img_feature)
 
 
-class GridTDGuidedGradCamExplainer(GridTDGuidedGradientExplainer):
+class GridTDGuidedGradCamExplainer(GuidedGradCamMixin,
+                                   GridTDGuidedGradientExplainer):
     """Guided Grad-CAM (ExplainGridTDGuidedGradCam, gridTDmodel.py:1796):
     guided-backprop pixel gradients multiplied on host by the
-    pyramid-expanded CAM (skimage, upscale=16 — host-side by design, matching
+    pyramid-expanded CAM (upscale=16, host-side by design, matching
     gridTDmodel.py:1824-1828)."""
-
-    EX_TYPE = "GuidedGradCam"
-
-    def _cnn_stage(self, params, image, word_exp):
-        seeds = self._grid_seeds(word_exp)
-        backward = self._guided_backward_factory(params, image)
-        guided = self._map_words(lambda d: backward(d[None])[0], seeds)
-        feats = self.cap.encode(params, image)
-        cams = jax.vmap(lambda d: grad_cam(feats.raw[0], d))(word_exp.r_img_feature)
-        # stash CAMs for the host-side multiply (pyramid expand is host skimage)
-        return guided, cams
-
-    def explain_caption_arrays(self, image):
-        (tokens, length, (guided, cams), r_words, alphas, preds,
-         betas) = self._core(self.params, jnp.asarray(image))
-        from ..utils.viz import upscale_attention
-
-        guided = np.asarray(guided)
-        cams = np.asarray(cams)
-        hw = int(np.sqrt(self.cap.cfg.num_pixels))
-        upscale = image.shape[1] // hw
-        expanded = np.stack([
-            upscale_attention(c, (hw, hw), upscale=upscale, sigma=20.0)
-            for c in cams
-        ])
-        rel = guided * expanded[..., None]
-        tokens = np.asarray(tokens)
-        length = int(length)
-        words_ids = tokens[1:length]
-        t_count = len(words_ids)
-        if t_count and words_ids[-1] == self.word_map.end:
-            t_count -= 1
-        rev = self.word_map.id_to_word
-        return CaptionExplanation(
-            caption=[rev.get(int(w), "<unk>") for w in words_ids[:t_count]],
-            tokens=tokens[:length],
-            relevance_images=rel[:t_count],
-            relevance_words=np.asarray(r_words)[:t_count, : t_count + 1],
-            alphas=np.asarray(alphas)[:t_count],
-            predictions=np.asarray(preds)[:t_count],
-            betas=np.asarray(betas)[:t_count],
-        )

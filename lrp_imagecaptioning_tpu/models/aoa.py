@@ -141,6 +141,54 @@ def multi_head_attention(
     return ctx.reshape(b, h), alpha
 
 
+@struct.dataclass
+class BatchNorm1dParams:
+    """Inference-mode BatchNorm1d as scale/shift (track_running_stats)."""
+
+    scale: jax.Array  # gamma / sqrt(var + eps)
+    shift: jax.Array  # beta - mean * scale
+
+
+@struct.dataclass
+class FullMHAParams:
+    """The complete MultiHeadedDotAttention option set (aoamodel.py:54-108):
+    optional BatchNorm1d on the query, optional k/v projections, optional GLU
+    AoA refiner layer.  ``AOAModel`` itself instantiates the reduced variant
+    (all three off, aoamodel.py:135); this exists for parity with the module's
+    full surface (e.g. an encoder refiner)."""
+
+    q_proj: LinearParams
+    k_proj: LinearParams | None
+    v_proj: LinearParams | None
+    norm_q: BatchNorm1dParams | None
+    aoa_layer: LinearParams | None  # (2H, 2H) before the GLU split
+
+
+def full_mha(
+    p: FullMHAParams,
+    query: jax.Array,  # (B, H) single query
+    key: jax.Array,  # (B, P, H)
+    value: jax.Array,  # (B, P, H)
+    num_head: int,
+) -> tuple[jax.Array, jax.Array]:
+    """MultiHeadedDotAttention.forward (aoamodel.py:86-108), inference mode.
+    Returns (x (B, H), alpha (B, nh, P))."""
+    q = query
+    if p.norm_q is not None:
+        q = q * p.norm_q.scale + p.norm_q.shift
+    q_p = linear(p.q_proj, q)
+    k = key if p.k_proj is None else linear(p.k_proj, key)
+    v = value if p.v_proj is None else linear(p.v_proj, value)
+    ctx, alpha = multi_head_attention(q_p, k, v, num_head)
+    if p.aoa_layer is not None:
+        # GLU over Linear(2H -> 2H) of [ctx, q], then residual add
+        # (aoamodel.py:73-74, 'aoa_layer' Sequential(Linear, GLU) + Add)
+        z = linear(p.aoa_layer, jnp.concatenate([ctx, q], axis=-1))
+        a, b = jnp.split(z, 2, axis=-1)
+        ctx = a * jax.nn.sigmoid(b) + q
+    return ctx, alpha
+
+
 def step(
     params: AOAParams,
     feats: AOAFeatures,

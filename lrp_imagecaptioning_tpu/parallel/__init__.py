@@ -5,3 +5,8 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .distributed import (
+    global_batch_from_local,
+    host_shard,
+    initialize,
+)
