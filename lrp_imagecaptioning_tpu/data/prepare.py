@@ -102,6 +102,148 @@ def create_input_files(
     return word_map
 
 
+def _create_from_split_assignment(
+    dataset, data, image_folder, captions_per_image, min_word_freq,
+    output_folder, max_len, assign_split, *, check_image_files=True, seed=123,
+) -> WordMap:
+    """Shared artifact generation with an arbitrary image->split assignment."""
+    split_paths: dict[str, list] = {"train": [], "val": [], "test": []}
+    split_caps: dict[str, list] = {"train": [], "val": [], "test": []}
+    freq_source = []
+    for img in data["images"]:
+        split = assign_split(img)
+        if split is None:
+            continue
+        captions = []
+        for c in img["sentences"]:
+            if split == "train":
+                freq_source.append(c["tokens"])
+            if len(c["tokens"]) <= max_len:
+                captions.append(c["tokens"])
+        if not captions:
+            continue
+        if "coco" in dataset:
+            path = os.path.join(image_folder, img.get("filepath", ""),
+                                img["filename"])
+        else:
+            path = os.path.join(image_folder, img["filename"])
+        split_paths[split].append(path)
+        split_caps[split].append(captions)
+
+    word_map = build_word_map(freq_source, min_word_freq)
+    base = f"{dataset}_{captions_per_image}_cap_per_img_{min_word_freq}_min_word_freq"
+    os.makedirs(output_folder, exist_ok=True)
+    word_map.save(os.path.join(output_folder, f"wordmap_{base}.json"))
+    rng = random.Random(seed)
+    for split in ("train", "val", "test"):
+        items = []
+        for path, caps in zip(split_paths[split], split_caps[split]):
+            if check_image_files and not os.path.isfile(path):
+                raise FileNotFoundError(path)
+            if len(caps) < captions_per_image:
+                captions = caps + [rng.choice(caps)
+                                   for _ in range(captions_per_image - len(caps))]
+            else:
+                captions = rng.sample(caps, k=captions_per_image)
+            encs, lens = zip(*(encode_caption(c, word_map, max_len)
+                               for c in captions))
+            if split == "train":
+                for e, ln in zip(encs, lens):
+                    items.append({"image_path": path, "encoded_cap": list(e),
+                                  "encoded_all_caps": [list(x) for x in encs],
+                                  "caption_len": int(ln)})
+            else:
+                items.append({"image_path": path,
+                              "encoded_all_caps": [list(x) for x in encs],
+                              "caption_len": [int(x) for x in lens]})
+        with open(os.path.join(output_folder, f"{split}_imagecap_{base}.json"),
+                  "w") as f:
+            json.dump(items, f)
+    return word_map
+
+
+def create_input_robust_coco(
+    karpathy_json_path: str,
+    robust_split_json_path: str,
+    image_folder: str,
+    captions_per_image: int,
+    min_word_freq: int,
+    output_folder: str = "./",
+    max_len: int = 100,
+    **kw,
+) -> WordMap:
+    """Robust-COCO split (``create_input_robust_coco``,
+    preparedataset.py:204-336): image ids come from an external
+    ``split_robust_coco.json`` with train_id/val_id/test_id lists."""
+    with open(karpathy_json_path) as f:
+        data = json.load(f)
+    with open(robust_split_json_path) as f:
+        robust = json.load(f)
+
+    def ids(key):
+        return {item["img_id"] for item in robust[key]}
+
+    train, val, test = ids("train_id"), ids("val_id"), ids("test_id")
+
+    def assign(img):
+        img_id = img.get("cocoid", img.get("imgid"))
+        if img_id in train:
+            return "train"
+        if img_id in val:
+            return "val"
+        if img_id in test:
+            return "test"
+        return None
+
+    return _create_from_split_assignment(
+        "coco2017_robust", data, image_folder, captions_per_image,
+        min_word_freq, output_folder, max_len, assign, **kw,
+    )
+
+
+def create_input_files_noc(
+    dataset: str,
+    karpathy_json_path: str,
+    held_out_lists_folder: str,
+    image_folder: str,
+    captions_per_image: int,
+    min_word_freq: int,
+    output_folder: str = "./",
+    max_len: int = 100,
+    **kw,
+) -> WordMap:
+    """Novel-object-captioning held-out split (``create_input_files_noc``,
+    preparedataset.py:338-472): train/val/test image-id lists come from .txt
+    files in ``held_out_lists_folder``."""
+    assert dataset in {"coco2014_held_out"}
+    with open(karpathy_json_path) as f:
+        data = json.load(f)
+
+    def read_ids(name):
+        path = os.path.join(held_out_lists_folder, name)
+        with open(path) as f:
+            return {int(line.strip()) for line in f if line.strip()}
+
+    train = read_ids("coco2014_cocoid.heldout_train.txt")
+    val = read_ids("coco2014_cocoid.heldout_val_val.txt")
+    test = read_ids("coco2014_cocoid.heldout_val_test.txt")
+
+    def assign(img):
+        img_id = img.get("cocoid", img.get("imgid"))
+        if img_id in train:
+            return "train"
+        if img_id in val:
+            return "val"
+        if img_id in test:
+            return "test"
+        return None
+
+    return _create_from_split_assignment(
+        dataset, data, image_folder, captions_per_image, min_word_freq,
+        output_folder, max_len, assign, **kw,
+    )
+
+
 def generate_coco2017_jsonfile(
     annotation_train_path: str,
     annotation_val_path: str,

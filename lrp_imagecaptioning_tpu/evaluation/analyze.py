@@ -120,6 +120,36 @@ def analyze_tpfp(save_root: str, explanation_types: list[str], *,
     return out
 
 
+def merge_multihead_bbox(save_root: str, explanation_type: str,
+                         num_head: int = 8) -> str:
+    """Merge per-head AoA bbox-correctness files by max over heads
+    (process_multihead_attention_bbox_aoa, evaluation.py:1078-1108).
+    Expects files named ``<img>_<h><type>correctness.json`` under
+    ``bbox/<type>/``; writes merged files to ``bbox/<type>_merge/``."""
+    src = os.path.join(save_root, "bbox", explanation_type)
+    dst = os.path.join(save_root, "bbox", f"{explanation_type}_merge")
+    os.makedirs(dst, exist_ok=True)
+    by_img: dict = defaultdict(dict)
+    for file in glob.glob(os.path.join(src, f"*{explanation_type}correctness.json")):
+        name = os.path.basename(file)
+        stem = name[: -len(f"{explanation_type}correctness.json")]
+        # strip the trailing head index + '_' separator
+        img = stem.rstrip("0123456789").rstrip("_")
+        data = json.load(open(file))
+        for value in data.values():
+            for category, ths in value.items():
+                merged = by_img[img].setdefault(
+                    category, {th: 0.0 for th in THRESH_KEYS})
+                for th, v in ths.items():
+                    if float(v) > merged[th]:
+                        merged[th] = float(v)
+    for img, merged in by_img.items():
+        with open(os.path.join(
+                dst, f"{img}_{explanation_type}correctness.json"), "w") as f:
+            json.dump({img: merged}, f)
+    return dst
+
+
 def count_hallucinate_words(predictions: dict, references: dict,
                             category_list: list[str]):
     """Per-category precision/recall/F1 of object words vs the reference
