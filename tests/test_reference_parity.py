@@ -1,0 +1,400 @@
+"""THE parity test: run the actual reference implementation (CPU, stubbed
+deps) and compare our LRP explanation against it end to end.
+
+Builds the reference ``GridTDModel`` + ``ExplainGridTDAttention`` from
+/root/reference with random weights, runs its stash forward + relevance walk +
+hook-based CNN LRP on one image, then converts the same weights with
+``torch_weights.convert_state_dict`` and runs our jitted pipeline.  Target:
+relevance-map MAE <= 1e-4 (BASELINE.md).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+# ---------------------------------------------------------------------------
+# stub the reference's unavailable dependencies BEFORE importing it
+# ---------------------------------------------------------------------------
+
+
+def _install_stubs():
+    if "torchvision" in sys.modules and not hasattr(
+            sys.modules["torchvision"], "_is_stub"):
+        return
+    tv = types.ModuleType("torchvision")
+    tv._is_stub = True
+    tv_models = types.ModuleType("torchvision.models")
+    tv_utils = types.ModuleType("torchvision.models.utils")
+
+    def load_state_dict_from_url(url, progress=True):
+        raise RuntimeError("no network in tests — use pretrained=False")
+
+    tv_utils.load_state_dict_from_url = load_state_dict_from_url
+    tv_transforms = types.ModuleType("torchvision.transforms")
+    for name in ["Compose", "Resize", "ToTensor", "Normalize",
+                 "ColorJitter", "RandomHorizontalFlip"]:
+        setattr(tv_transforms, name, lambda *a, **k: (lambda x: x))
+    tv.models = tv_models
+    tv.transforms = tv_transforms
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tv_models
+    sys.modules["torchvision.models.utils"] = tv_utils
+    sys.modules["torchvision.transforms"] = tv_transforms
+
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        sk_t = types.ModuleType("skimage.transform")
+        sk_t.pyramid_expand = lambda x, **k: x
+        sk.transform = sk_t
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.transform"] = sk_t
+
+    try:
+        from nltk.corpus import stopwords  # noqa: F401
+
+        stopwords.words("english")
+    except Exception:
+        nltk = sys.modules.get("nltk") or types.ModuleType("nltk")
+        corpus = types.ModuleType("nltk.corpus")
+
+        class _SW:
+            @staticmethod
+            def words(lang):
+                from lrp_imagecaptioning_tpu.models.lrp_tuning import (
+                    NLTK_STOPWORDS,
+                )
+
+                return list(NLTK_STOPWORDS)
+
+        corpus.stopwords = _SW()
+        nltk.corpus = corpus
+        sys.modules["nltk"] = nltk
+        sys.modules["nltk.corpus"] = corpus
+
+
+@pytest.fixture(scope="module")
+def reference():
+    _install_stubs()
+    # .cuda() everywhere -> identity on CPU
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    sys.path.insert(0, "/root/reference")
+    import models.gridTDmodel as ref_gridtd  # noqa: E402
+
+    return ref_gridtd
+
+
+E, H = 10, 12
+VOCAB_WORDS = 20
+# the reference AdaptiveAttention hard-codes its projection width to the pixel
+# count (196 via `AdaptiveAttention(hidden, 196)`, gridTDmodel.py:127) and its
+# forward only broadcasts when P == num_pixel — so parity requires the full
+# 224x224 / 14x14 grid.
+IMG = 224
+
+
+def _word_map():
+    wm = {f"w{i}": i + 1 for i in range(VOCAB_WORDS)}
+    wm["<unk>"] = len(wm) + 1
+    wm["<start>"] = len(wm) + 1
+    wm["<end>"] = len(wm) + 1
+    wm["<pad>"] = 0
+    return wm
+
+
+@pytest.mark.slow
+def test_gridtd_lrp_parity_with_reference(reference):
+    ref_gridtd = reference
+    torch.manual_seed(0)
+    wm_dict = _word_map()
+    vocab = len(wm_dict)
+
+    # reference model on CPU; pretrained=False via monkeypatching the ctor's
+    # encoder build is invasive — instead construct with pretrained disabled
+    import models.vgg as ref_vgg
+
+    orig_vgg16 = ref_vgg.vgg16
+    ref_vgg.vgg16 = lambda pretrained=True, **kw: orig_vgg16(
+        pretrained=False, **kw)
+    try:
+        model = ref_gridtd.GridTDModel(E, H, vocab, "vgg16")
+    finally:
+        ref_vgg.vgg16 = orig_vgg16
+    model.eval()
+
+    args = types.SimpleNamespace(save_path="/tmp/refparity", dataset="toy",
+                                 height=IMG, width=IMG)
+    explainer = ref_gridtd.ExplainGridTDAttention(args, wm_dict, model=model)
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(1, 3, IMG, IMG)).astype(np.float32)
+    explainer.preprocess_img = lambda path: torch.tensor(img)
+
+    # the reference's beam_search floor-divided with `/` (torch 1.4 integer
+    # semantics, gridTDmodel.py:444) and crashes on modern torch; the decoded
+    # caption is only an *input* to the LRP walk (decode parity is
+    # oracle-tested in test_decoding), so fix the caption here.
+    fixed_words = ["w3", "w5", "w1", "w7", "w2"]
+    fixed_ids = [wm_dict[w] for w in fixed_words]
+    model.beam_search = (
+        lambda img, wm, beam_size=3, max_cap_length=20:
+        ([" ".join(fixed_words)], list(fixed_ids))
+    )
+
+    with torch.no_grad():
+        explainer.get_hidden_parameters("fake.jpg")
+    T = explainer.caption_length
+    assert T >= 1
+    ts = list(range(min(T, 2)))
+    ref_imgfeat, ref_words, ref_pix = [], [], []
+    from LRPtools import lrp_wrapper
+
+    lrp_wrapper.add_lrp(model.img_encoder.encoder)
+    for t in ts:
+        with torch.no_grad():
+            r_feat, r_words = explainer.explain_caption_wordt(t)
+        r_pix = explainer.explain_cnn(r_feat)
+        ref_imgfeat.append(r_feat.detach().numpy())
+        ref_words.append(r_words.detach().numpy())
+        ref_pix.append(r_pix.detach().numpy())
+
+    # ---- our side with converted weights ------------------------------
+    import jax
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.config import ModelConfig
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import make_vgg_lrp_backward
+    from lrp_imagecaptioning_tpu.explain.gridtd_lrp import (
+        explain_word,
+        stash_forward,
+    )
+    from lrp_imagecaptioning_tpu.models import gridtd
+    from lrp_imagecaptioning_tpu.models.encoders import encode_image_grid
+    from lrp_imagecaptioning_tpu.models.torch_weights import (
+        convert_encoder,
+        convert_gridtd,
+    )
+
+    cfg = ModelConfig(model_type="gridtd", encoder="vgg16", embed_dim=E,
+                      hidden_dim=H, vocab_size=vocab, num_pixels=196)
+    sd = model.state_dict()
+    dec = convert_gridtd(sd, cfg)
+    enc = convert_encoder(sd, cfg)
+
+    img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+    raw, avg = encode_image_grid(enc, img_nhwc)
+    feats = gridtd.encode_features(dec, raw, avg)
+
+    # drive our stash with the REFERENCE's decoded caption (isolates LRP
+    # parity from decode parity; decode parity is oracle-tested separately)
+    tokens = jnp.asarray(explainer.beam_caption_encode[:T], jnp.int32)
+    stash = stash_forward(dec, feats, tokens, language_double_bias_i=True)
+
+    # stash cross-check vs the reference's stashed tensors
+    np.testing.assert_allclose(
+        np.asarray(stash.predictions), explainer.predictions.numpy()[:T],
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(stash.h2[1:]), explainer.h2t.numpy()[1 : T + 1],
+        rtol=1e-4, atol=1e-5,
+    )
+
+    backward, _ = make_vgg_lrp_backward(enc, img_nhwc)
+    for i, t in enumerate(ts):
+        target = int(explainer.beam_caption_encode[t + 1])
+        we = explain_word(dec, feats, stash, jnp.asarray(t),
+                          target=jnp.asarray(target))
+        # decoder-walk output: (P, C) -> reference (1, C, h, w)
+        got_feat = np.asarray(we.r_img_feature).reshape(14, 14, 512)
+        want_feat = ref_imgfeat[i][0].transpose(1, 2, 0)
+        mae_feat = np.abs(got_feat - want_feat).mean()
+        assert mae_feat <= 1e-4, f"t={t} decoder-walk MAE {mae_feat}"
+
+        got_words = np.asarray(we.r_words)[: t + 1]
+        np.testing.assert_allclose(got_words, ref_words[i][: t + 1],
+                                   rtol=1e-3, atol=1e-4)
+
+        got_pix = np.asarray(backward(
+            jnp.asarray(got_feat)[None]))[0]  # (H, W, 3)
+        want_pix = ref_pix[i][0].transpose(1, 2, 0)
+        mae_pix = np.abs(got_pix - want_pix).mean()
+        denom = np.abs(want_pix).mean() + 1e-12
+        assert mae_pix <= 1e-4 or mae_pix / denom <= 1e-3, (
+            f"t={t} pixel MAE {mae_pix} (rel {mae_pix / denom})")
+
+
+@pytest.mark.slow
+def test_aoa_lrp_parity_with_reference(reference):
+    _ = reference  # ensures stubs + cuda patches installed
+    import models.aoamodel as ref_aoa
+    import models.vgg as ref_vgg
+
+    torch.manual_seed(1)
+    wm_dict = _word_map()
+    vocab = len(wm_dict)
+    NH = 2  # hidden 12 / 2 heads -> d_k 6
+
+    orig_vgg16 = ref_vgg.vgg16
+    ref_vgg.vgg16 = lambda pretrained=True, **kw: orig_vgg16(
+        pretrained=False, **kw)
+    try:
+        model = ref_aoa.AOAModel(E, H, NH, vocab, "vgg16")
+    finally:
+        ref_vgg.vgg16 = orig_vgg16
+    model.eval()
+
+    args = types.SimpleNamespace(save_path="/tmp/refparity_aoa", dataset="toy",
+                                 height=IMG, width=IMG, num_head=NH)
+    explainer = ref_aoa.ExplainAOAAttention(args, wm_dict, model=model)
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(1, 3, IMG, IMG)).astype(np.float32)
+    explainer.preprocess_img = lambda path: torch.tensor(img)
+    fixed_words = ["w4", "w2", "w9", "w6"]
+    fixed_ids = [wm_dict[w] for w in fixed_words]
+    model.beam_search = (
+        lambda img, wm, beam_size=3, max_cap_length=20:
+        ([" ".join(fixed_words)], list(fixed_ids))
+    )
+    with torch.no_grad():
+        explainer.get_hidden_parameters("fake.jpg")
+    T = explainer.caption_length
+    head = 1
+    ts = list(range(min(T, 2)))
+    ref_feat, ref_words_l = [], []
+    for t in ts:
+        with torch.no_grad():
+            r_feat, r_words = explainer.explain_caption_wordt(t, head)
+        ref_feat.append(r_feat.detach().numpy())
+        ref_words_l.append(r_words.detach().numpy())
+
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.config import ModelConfig
+    from lrp_imagecaptioning_tpu.explain.aoa_lrp import (
+        explain_word as aoa_explain_word,
+        stash_forward as aoa_stash,
+    )
+    from lrp_imagecaptioning_tpu.models import aoa
+    from lrp_imagecaptioning_tpu.models.torch_weights import (
+        convert_aoa,
+        convert_encoder,
+    )
+    from lrp_imagecaptioning_tpu.models.encoders import encode_image_grid
+
+    cfg = ModelConfig(model_type="aoa", encoder="vgg16", embed_dim=E,
+                      hidden_dim=H, num_head=NH, vocab_size=vocab,
+                      num_pixels=196)
+    sd = model.state_dict()
+    dec = convert_aoa(sd, cfg)
+    enc = convert_encoder(sd, cfg)
+    img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+    raw, _ = encode_image_grid(enc, img_nhwc)
+    feats = aoa.encode_features(dec, raw)
+    tokens = jnp.asarray(explainer.beam_caption_encode[:T], jnp.int32)
+    stash = aoa_stash(dec, feats, tokens, num_head=NH,
+                      language_double_bias_i=True)
+    np.testing.assert_allclose(
+        np.asarray(stash.predictions), explainer.predictions.numpy()[:T],
+        rtol=1e-4, atol=1e-4,
+    )
+    for i, t in enumerate(ts):
+        target = int(explainer.beam_caption_encode[t + 1])
+        we = aoa_explain_word(dec, feats, stash, jnp.asarray(t),
+                              target=jnp.asarray(target),
+                              head_idx=jnp.asarray(head), num_head=NH)
+        got = np.asarray(we.r_img_feature).reshape(14, 14, 512)
+        want = ref_feat[i][0].transpose(1, 2, 0)
+        mae = np.abs(got - want).mean()
+        assert mae <= 1e-4, f"t={t} AoA decoder-walk MAE {mae}"
+        np.testing.assert_allclose(np.asarray(we.r_words)[: t + 1],
+                                   ref_words_l[i][: t + 1],
+                                   rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_adaptive_lrp_parity_with_reference(reference):
+    _ = reference
+    import models.adaptiveattention as ref_ada
+    import models.vgg as ref_vgg
+
+    torch.manual_seed(2)
+    wm_dict = _word_map()
+    vocab = len(wm_dict)
+    # the reference's adaptive stash buffer is sized E+H for an input of
+    # width 2E (adaptiveattention.py:640 vs :598) — a latent bug invisible at
+    # its E=H=512 config; use E == H here so the reference runs.
+    EA = HA = 12
+    orig_vgg16 = ref_vgg.vgg16
+    ref_vgg.vgg16 = lambda pretrained=True, **kw: orig_vgg16(
+        pretrained=False, **kw)
+    try:
+        model = ref_ada.AdaptiveAttentionCaptioningModel(EA, HA, vocab, "vgg16")
+    finally:
+        ref_vgg.vgg16 = orig_vgg16
+    model.eval()
+    args = types.SimpleNamespace(save_path="/tmp/refparity_ada", dataset="toy",
+                                 height=IMG, width=IMG)
+    explainer = ref_ada.ExplainAdaptiveAttention(args, wm_dict, model=model)
+    rng = np.random.default_rng(2)
+    img = rng.normal(size=(1, 3, IMG, IMG)).astype(np.float32)
+    explainer.preprocess_img = lambda path: torch.tensor(img)
+    fixed_words = ["w8", "w1", "w5"]
+    fixed_ids = [wm_dict[w] for w in fixed_words]
+    model.beam_search = (
+        lambda img, wm, beam_size=3, max_cap_length=20:
+        ([" ".join(fixed_words)], list(fixed_ids))
+    )
+    with torch.no_grad():
+        explainer.get_hidden_parameters("fake.jpg")
+    T = explainer.caption_length
+    ts = list(range(min(T, 2)))
+    ref_feat, ref_words_l = [], []
+    for t in ts:
+        with torch.no_grad():
+            r_feat, r_words = explainer.explain_caption_wordt(t)
+        ref_feat.append(r_feat.detach().numpy())
+        ref_words_l.append(r_words.detach().numpy())
+
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.config import ModelConfig
+    from lrp_imagecaptioning_tpu.explain.adaptive_lrp import (
+        explain_word as ada_explain_word,
+        stash_forward as ada_stash,
+    )
+    from lrp_imagecaptioning_tpu.models import gridtd
+    from lrp_imagecaptioning_tpu.models.encoders import encode_image_grid
+    from lrp_imagecaptioning_tpu.models.torch_weights import (
+        convert_adaptive,
+        convert_encoder,
+    )
+
+    cfg = ModelConfig(model_type="adaptive", encoder="vgg16", embed_dim=EA,
+                      hidden_dim=HA, vocab_size=vocab, num_pixels=196)
+    sd = model.state_dict()
+    dec = convert_adaptive(sd, cfg)
+    enc = convert_encoder(sd, cfg)
+    img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+    raw, avg = encode_image_grid(enc, img_nhwc)
+    feats = gridtd.encode_features(dec, raw, avg)
+    tokens = jnp.asarray(explainer.beam_caption_encode[:T], jnp.int32)
+    stash = ada_stash(dec, feats, tokens)
+    np.testing.assert_allclose(
+        np.asarray(stash.predictions), explainer.predictions.numpy()[:T],
+        rtol=1e-4, atol=1e-4,
+    )
+    for i, t in enumerate(ts):
+        target = int(explainer.beam_caption_encode[t + 1])
+        we = ada_explain_word(dec, feats, stash, jnp.asarray(t),
+                              target=jnp.asarray(target))
+        got = np.asarray(we.r_img_feature).reshape(14, 14, 512)
+        want = ref_feat[i][0].transpose(1, 2, 0)
+        mae = np.abs(got - want).mean()
+        assert mae <= 1e-4, f"t={t} adaptive decoder-walk MAE {mae}"
+        np.testing.assert_allclose(np.asarray(we.r_words)[: t + 1],
+                                   ref_words_l[i][: t + 1],
+                                   rtol=1e-3, atol=1e-4)
