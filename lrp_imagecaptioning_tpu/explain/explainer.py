@@ -44,6 +44,11 @@ class GridTDExplainerBase:
     gridTDmodel.py:705-1858)."""
 
     EX_TYPE = "base"
+    # The reference LRP explainers' manual language-LSTM forward adds bias_ih
+    # twice (gridTDmodel.py:789, aoamodel.py:873); their GRADIENT explainers
+    # use the correct bias_ih + bias_hh (gridTDmodel.py:1265,
+    # aoamodel.py:1298).  Each driver defaults to its reference counterpart.
+    DEFAULT_QUIRK = True
 
     def __init__(
         self,
@@ -53,7 +58,7 @@ class GridTDExplainerBase:
         *,
         beam_size: int = 2,  # reference uses beam=2 for explanation decode
         max_words: int = 20,
-        language_double_bias_i: bool = True,
+        language_double_bias_i: bool | None = None,
         cnn_word_chunk: int = 8,
     ):
         self.cap = captioner
@@ -61,7 +66,8 @@ class GridTDExplainerBase:
         self.word_map = word_map
         self.beam_size = beam_size
         self.max_words = max_words
-        self.quirk = language_double_bias_i
+        self.quirk = (self.DEFAULT_QUIRK if language_double_bias_i is None
+                      else language_double_bias_i)
         self.cnn_word_chunk = cnn_word_chunk
         self._core = jax.jit(self._explain_core)
 
@@ -276,7 +282,7 @@ class AOALrpExplainer(GridTDExplainerBase):
 
     def __init__(self, captioner, params, word_map, *, head_idx: int = 0,
                  beam_size: int = 3, max_words: int = 20,
-                 language_double_bias_i: bool = True):
+                 language_double_bias_i: bool | None = None):
         self.head_idx = head_idx
         super().__init__(
             captioner, params, word_map, beam_size=beam_size,
@@ -312,6 +318,7 @@ class AOAGradientExplainer(AOALrpExplainer):
 
     EX_TYPE = "gradient"
     GUIDED = False
+    DEFAULT_QUIRK = False  # aoamodel.py:1298 uses correct biases
 
     def _decoder_walk(self, params, feats, stash, targets):
         from .aoa_gradient import gradient_all_words as aoa_grad
@@ -413,7 +420,7 @@ class AdaptiveLrpExplainer(GridTDExplainerBase):
     EX_TYPE = "lrp"
 
     def __init__(self, captioner, params, word_map, *, beam_size: int = 3,
-                 max_words: int = 20, language_double_bias_i: bool = True):
+                 max_words: int = 20, language_double_bias_i: bool | None = None):
         super().__init__(captioner, params, word_map, beam_size=beam_size,
                          max_words=max_words,
                          language_double_bias_i=language_double_bias_i)
@@ -487,6 +494,7 @@ class GridTDGradientExplainer(GridTDExplainerBase):
 
     EX_TYPE = "gradient"
     GUIDED = False
+    DEFAULT_QUIRK = False  # gradient explainers use correct biases
 
     def _decoder_walk(self, params, feats, stash, targets):
         return gradient_all_words(

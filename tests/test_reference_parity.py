@@ -228,6 +228,160 @@ def test_gridtd_lrp_parity_with_reference(reference):
 
 
 @pytest.mark.slow
+def test_gridtd_gradient_parity_with_reference(reference):
+    """Manual-gradient walk vs ExplainGridTDGradient (gridTDmodel.py:1214)."""
+    ref_gridtd = reference
+    import models.vgg as ref_vgg
+
+    torch.manual_seed(3)
+    wm_dict = _word_map()
+    vocab = len(wm_dict)
+    orig_vgg16 = ref_vgg.vgg16
+    ref_vgg.vgg16 = lambda pretrained=True, **kw: orig_vgg16(
+        pretrained=False, **kw)
+    try:
+        model = ref_gridtd.GridTDModel(E, H, vocab, "vgg16")
+    finally:
+        ref_vgg.vgg16 = orig_vgg16
+    model.eval()
+
+    # build the gradient explainer without its ctor (it loads a checkpoint)
+    explainer = ref_gridtd.ExplainGridTDGradient.__new__(
+        ref_gridtd.ExplainGridTDGradient)
+    explainer.args = types.SimpleNamespace(save_path="/tmp/refparity_g",
+                                           dataset="toy", height=IMG,
+                                           width=IMG)
+    explainer.word_map = wm_dict
+    explainer.vocab_size = vocab
+    explainer.model = model
+    explainer.adalstm_weight_i = model.AdaLSTM.lstm_cell.weight_ih
+    explainer.adalstm_weight_h = model.AdaLSTM.lstm_cell.weight_hh
+    explainer.adalstm_bias_i = model.AdaLSTM.lstm_cell.bias_ih
+    explainer.adalstm_bias_h = model.AdaLSTM.lstm_cell.bias_hh
+    explainer.language_weight_i = model.LanguageLSTM.weight_ih
+    explainer.language_weight_h = model.LanguageLSTM.weight_hh
+    explainer.language_bias_i = model.LanguageLSTM.bias_ih
+    explainer.language_bias_h = model.LanguageLSTM.bias_hh
+    explainer.output_weight = model.fc.weight
+
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(1, 3, IMG, IMG)).astype(np.float32)
+    explainer.preprocess_img = lambda path: torch.tensor(img)
+    fixed_words = ["w2", "w6", "w4"]
+    fixed_ids = [wm_dict[w] for w in fixed_words]
+    model.beam_search = (
+        lambda img, wm, beam_size=3, max_cap_length=20:
+        ([" ".join(fixed_words)], list(fixed_ids))
+    )
+    with torch.no_grad():
+        explainer.get_hidden_parameters("fake.jpg")
+    explainer.image_feature_proj = explainer.image_feature_proj.transpose(1, 2)
+    T = explainer.caption_length
+    t = min(T - 1, 1)
+    with torch.no_grad():
+        d_feat, d_words = explainer.explain_caption_wordt(t)
+    d_pix = explainer.explain_cnn(d_feat)
+
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.config import ModelConfig
+    from lrp_imagecaptioning_tpu.explain.cnn_gradient import vgg_gradient
+    from lrp_imagecaptioning_tpu.explain.gridtd_gradient import gradient_word
+    from lrp_imagecaptioning_tpu.explain.gridtd_lrp import stash_forward
+    from lrp_imagecaptioning_tpu.models import gridtd
+    from lrp_imagecaptioning_tpu.models.encoders import encode_image_grid
+    from lrp_imagecaptioning_tpu.models.torch_weights import (
+        convert_encoder,
+        convert_gridtd,
+    )
+
+    cfg = ModelConfig(model_type="gridtd", encoder="vgg16", embed_dim=E,
+                      hidden_dim=H, vocab_size=vocab, num_pixels=196)
+    sd = model.state_dict()
+    dec = convert_gridtd(sd, cfg)
+    enc = convert_encoder(sd, cfg)
+    img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+    raw, avg = encode_image_grid(enc, img_nhwc)
+    feats = gridtd.encode_features(dec, raw, avg)
+    tokens = jnp.asarray(explainer.beam_caption_encode[:T], jnp.int32)
+    # the gradient explainer's manual forward uses the CORRECT biases
+    # (gridTDmodel.py:1265) — no double-bias quirk here
+    stash = stash_forward(dec, feats, tokens, language_double_bias_i=False)
+    target = int(explainer.beam_caption_encode[t + 1])
+    we = gradient_word(dec, feats, stash, jnp.asarray(t),
+                       target=jnp.asarray(target))
+    got_feat = np.asarray(we.r_img_feature).reshape(14, 14, 512)
+    want_feat = d_feat.detach().numpy()[0].transpose(1, 2, 0)
+    assert np.abs(got_feat - want_feat).mean() <= 1e-4
+    np.testing.assert_allclose(np.asarray(we.r_words)[: t + 1],
+                               d_words.detach().numpy()[: t + 1],
+                               rtol=1e-3, atol=1e-4)
+    got_pix = np.asarray(vgg_gradient(enc, img_nhwc,
+                                      jnp.asarray(got_feat)[None]))[0]
+    want_pix = d_pix.detach().numpy()[0].transpose(1, 2, 0)
+    assert np.abs(got_pix - want_pix).mean() <= 1e-4
+
+
+@pytest.mark.slow
+def test_gridtd_lrp_weights_parity_with_reference(reference):
+    """Training-time LRP weighting: forwardlrp_context
+    (gridTDmodel.py:580-633) vs our forward_lrp_context."""
+    ref_gridtd = reference
+    import models.vgg as ref_vgg
+
+    torch.manual_seed(4)
+    wm_dict = _word_map()
+    vocab = len(wm_dict)
+    orig_vgg16 = ref_vgg.vgg16
+    ref_vgg.vgg16 = lambda pretrained=True, **kw: orig_vgg16(
+        pretrained=False, **kw)
+    try:
+        model = ref_gridtd.GridTDModel(E, H, vocab, "vgg16")
+    finally:
+        ref_vgg.vgg16 = orig_vgg16
+    model.eval()
+    rev = {v: k for k, v in wm_dict.items()}
+    rng = np.random.default_rng(4)
+    img = rng.normal(size=(2, 3, IMG, IMG)).astype(np.float32)
+    caps = torch.tensor([[wm_dict["<start>"], wm_dict["w3"], wm_dict["w5"],
+                          wm_dict["<end>"], 0, 0]] * 2)
+    with torch.no_grad():
+        preds, weighted, max_len = model.forwardlrp_context(
+            torch.tensor(img), caps, [4, 4], rev)
+
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.config import ModelConfig
+    from lrp_imagecaptioning_tpu.models import gridtd
+    from lrp_imagecaptioning_tpu.models.encoders import encode_image_grid
+    from lrp_imagecaptioning_tpu.models.lrp_tuning import (
+        forward_lrp_context,
+        stop_word_mask,
+    )
+    from lrp_imagecaptioning_tpu.models.torch_weights import (
+        convert_encoder,
+        convert_gridtd,
+    )
+    from lrp_imagecaptioning_tpu.data.vocab import WordMap
+
+    cfg = ModelConfig(model_type="gridtd", encoder="vgg16", embed_dim=E,
+                      hidden_dim=H, vocab_size=vocab, num_pixels=196)
+    sd = model.state_dict()
+    dec = convert_gridtd(sd, cfg)
+    enc = convert_encoder(sd, cfg)
+    raw, avg = encode_image_grid(enc, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    feats = gridtd.encode_features(dec, raw, avg)
+    stop = stop_word_mask(WordMap(wm_dict), cfg.padded_vocab)
+    logits, w_logits = forward_lrp_context(
+        dec, feats, jnp.asarray(caps.numpy(), jnp.int32), stop, num_steps=3
+    )
+    np.testing.assert_allclose(np.asarray(logits), preds.numpy(),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(w_logits), weighted.numpy(),
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
 def test_aoa_lrp_parity_with_reference(reference):
     _ = reference  # ensures stubs + cuda patches installed
     import models.aoamodel as ref_aoa
