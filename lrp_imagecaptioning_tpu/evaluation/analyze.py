@@ -120,6 +120,24 @@ def analyze_tpfp(save_root: str, explanation_types: list[str], *,
     return out
 
 
+def ground_truth_word_frequency(karpathy_json_path: str,
+                                words: list[str] | None = None) -> dict:
+    """Training-split word frequencies (ground_truth_work_frequency,
+    evaluation.py:1498-1536).  Returns {word: count}, optionally filtered to
+    the given frequent-word list."""
+    data = json.load(open(karpathy_json_path))
+    freq: dict = defaultdict(float)
+    for img in data["images"]:
+        if img["split"] not in ("train", "restval"):
+            continue
+        for c in img["sentences"]:
+            for w in c["tokens"]:
+                freq[w] += 1
+    if words is not None:
+        return {w: freq.get(w, 0.0) for w in words}
+    return dict(sorted(freq.items(), key=lambda kv: kv[1]))
+
+
 def merge_multihead_bbox(save_root: str, explanation_type: str,
                          num_head: int = 8) -> str:
     """Merge per-head AoA bbox-correctness files by max over heads

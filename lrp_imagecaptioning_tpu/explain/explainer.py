@@ -175,6 +175,25 @@ class GridTDExplainerBase:
 
         return jax.jit(f)
 
+    def batched_core_sharded(self, mesh, *, data_axis: str = "data"):
+        """Data-parallel explanation over a device mesh — the v5e-8 scaling
+        path for the north-star throughput metric: images shard over the
+        batch axis, params replicate, and the per-image explanation programs
+        run SPMD with no cross-device communication."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(mesh, P(data_axis))
+        rep = NamedSharding(mesh, P())
+        core = self.batched_core()
+
+        def f(params, images):
+            params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), params)
+            images = jax.device_put(jnp.asarray(images), batch_sh)
+            return core(params, images)
+
+        return f
+
     # -- public API ------------------------------------------------------
     def explain_caption_arrays(self, image: np.ndarray) -> CaptionExplanation:
         """image: (1, H, W, 3) normalized float32.  Returns host arrays with
