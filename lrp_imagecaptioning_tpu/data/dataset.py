@@ -167,18 +167,29 @@ def toy_dataset(
     from_features: bool = False,
     num_regions: int = 36,
     feat_dim: int = 2048,
+    learnable: bool = False,
 ) -> tuple[CaptionDataset, CaptionDataset, WordMap]:
     """Deterministic synthetic dataset for tests and benchmarks (SURVEY.md §4c).
+
+    With ``learnable=True`` each image's captions are a fixed function of its
+    index (all captions of an image identical, word = image id), so a working
+    training loop must drive CIDEr well above zero — an end-to-end learning
+    smoke signal that catches target-misalignment bugs.
 
     Returns (train_ds, val_ds, word_map)."""
     rng = np.random.default_rng(seed)
     words = [f"w{i}" for i in range(vocab_words)]
     raw_caps = []
-    for _ in range(num_images):
+    for img_idx in range(num_images):
         caps = []
         for _ in range(captions_per_image):
-            n = int(rng.integers(3, max_len))
-            caps.append([words[int(j)] for j in rng.integers(0, vocab_words, n)])
+            if learnable:
+                w = words[img_idx % vocab_words]
+                caps.append([w, words[(img_idx + 1) % vocab_words], w])
+            else:
+                n = int(rng.integers(3, max_len))
+                caps.append([words[int(j)]
+                             for j in rng.integers(0, vocab_words, n)])
         raw_caps.append(caps)
     word_map = build_word_map((c for caps in raw_caps for c in caps), min_word_freq=1)
 
