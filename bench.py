@@ -23,6 +23,7 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="full", choices=["smoke", "full"])
+    ap.add_argument("--model", default="gridtd", choices=["gridtd", "aoa"])
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--iters", type=int, default=0)
     ap.add_argument("--max-words", type=int, default=0)
@@ -34,7 +35,7 @@ def main():
 
     from lrp_imagecaptioning_tpu.config import ModelConfig
     from lrp_imagecaptioning_tpu.data.vocab import build_word_map
-    from lrp_imagecaptioning_tpu.explain.explainer import GridTDLrpExplainer
+    from lrp_imagecaptioning_tpu.explain import build_explainer
     from lrp_imagecaptioning_tpu.models.captioner import Captioner
 
     smoke = args.preset == "smoke"
@@ -48,14 +49,15 @@ def main():
         [[f"w{i}"] for i in range(vocab_words)], min_word_freq=1
     )
     cfg = ModelConfig(
-        model_type="gridtd", encoder="vgg16",
+        model_type=args.model, encoder="vgg16",
         embed_dim=64 if smoke else 512, hidden_dim=64 if smoke else 512,
         vocab_size=len(word_map), num_pixels=(hw // 16) ** 2,
         vocab_pad_multiple=128,
     )
     cap = Captioner(cfg)
     params = cap.init(jax.random.PRNGKey(0))
-    explainer = GridTDLrpExplainer(cap, params, word_map, max_words=max_words)
+    explainer = build_explainer("lrp", cap, params, word_map,
+                                max_words=max_words)
     core = explainer.batched_core()
 
     rng = np.random.default_rng(0)

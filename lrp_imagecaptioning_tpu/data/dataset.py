@@ -135,6 +135,38 @@ class CaptionDataset:
             caplens = np.asarray([it["caption_len"] for it in items], dtype=np.int32)
             yield CaptionBatch(images, captions, all_caps, caplens)
 
+    def train_batches_prefetched(
+        self, batch_size: int, *, prefetch: int = 2, **kw
+    ) -> Iterator[CaptionBatch]:
+        """``train_batches`` with a background decode thread so host image
+        decode overlaps device compute (the reference leans on DataLoader
+        workers, train.py:40-44; here one producer thread + a bounded queue)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        sentinel = object()
+        err: list[BaseException] = []
+
+        def producer():
+            try:
+                for batch in self.train_batches(batch_size, **kw):
+                    q.put(batch)
+            except BaseException as e:  # noqa: BLE001 - reraised on consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
     def eval_batches(self, batch_size: int = 1) -> Iterator[EvalBatch]:
         for b in range(-(-len(self.items) // batch_size)):
             items = self.items[b * batch_size : (b + 1) * batch_size]

@@ -333,7 +333,8 @@ class Trainer:
         step = self.compiled_xe_step()
         bs = batch_sharding(self.mesh, self.exp.mesh)
         losses, accs = AverageMeter(), AverageMeter()
-        for i, batch in enumerate(ds.train_batches(self.tcfg.batch_size)):
+        for i, batch in enumerate(
+                ds.train_batches_prefetched(self.tcfg.batch_size)):
             rng, srng = jax.random.split(rng)
             state, loss, acc = step(
                 state,
