@@ -470,6 +470,57 @@ def test_aoa_lrp_parity_with_reference(reference):
 
 
 @pytest.mark.slow
+def test_resnet_cnn_lrp_parity_with_reference(reference):
+    """Hook-based reference LRP through ResNet-50 (alpha-beta convs, BN-abs,
+    Add split, maxpool, identity relus) vs our explicit interpreter."""
+    _ = reference
+    import models.resnet as ref_resnet
+    from LRPtools import lrp_wrapper
+
+    torch.manual_seed(5)
+    model = ref_resnet.resnet50(pretrained=False)
+    model.eval()
+    rng = np.random.default_rng(5)
+    # small spatial size keeps CPU time sane; resnet50 on 64px -> 2x2x2048
+    img = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    seed_r = rng.normal(size=(1, 2048, 2, 2)).astype(np.float32)
+
+    lrp_wrapper.add_lrp(model)
+    want = model.compute_lrp(torch.tensor(img),
+                             target=torch.tensor(seed_r)).detach().numpy()
+
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.explain.resnet_lrp import (
+        make_resnet_lrp_backward,
+    )
+    from lrp_imagecaptioning_tpu.models.resnet import load_torch_resnet_state
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = load_torch_resnet_state(sd, "resnet50")
+    img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+    backward, feats = make_resnet_lrp_backward(params, img_nhwc)
+
+    # forward parity first
+    with torch.no_grad():
+        want_feats = model(torch.tensor(img)).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(feats), want_feats, rtol=1e-3,
+                               atol=1e-3)
+
+    got = np.asarray(backward(jnp.asarray(seed_r.transpose(0, 2, 3, 1))))
+    got = got.transpose(0, 3, 1, 2)
+    mae = np.abs(got - want).mean()
+    denom = np.abs(want).mean() + 1e-12
+    # NOTE: modern torch's non-full `register_backward_hook` fires at an inner
+    # autograd node for multi-node modules (BatchNorm) — torch itself warns
+    # "this hook will be missing some grad_input" during this test.  Under the
+    # reference's pinned torch 1.4 the hook replaced the whole module's
+    # gradient, which is exactly what our interpreter implements; the VGG
+    # parity test (no BN) matches to <1e-4.  Bound the BN-hook drift at 1%.
+    assert mae / denom <= 1e-2, (mae, mae / denom)
+
+
+@pytest.mark.slow
 def test_adaptive_lrp_parity_with_reference(reference):
     _ = reference
     import models.adaptiveattention as ref_ada
