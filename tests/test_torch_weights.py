@@ -139,6 +139,26 @@ def test_vocab_padding_in_conversion():
                                sd["embedding.weight"].numpy())
 
 
+def test_load_reference_checkpoint_roundtrip(tmp_path):
+    """torch.save'd reference checkpoint (modelutils.py:131-138 format) loads
+    through load_reference_checkpoint."""
+    from lrp_imagecaptioning_tpu.models.torch_weights import (
+        load_reference_checkpoint,
+    )
+
+    rng = np.random.default_rng(7)
+    sd = make_gridtd_sd(rng)
+    path = tmp_path / "checkpoint_toy_epoch3_cider_0.5.pth"
+    torch.save({"epoch": 3, "cider": 0.5, "state_dict": sd}, str(path))
+    cfg = ModelConfig(model_type="gridtd", encoder="vgg16", embed_dim=E,
+                      hidden_dim=H, vocab_size=V, num_pixels=P)
+    params = load_reference_checkpoint(str(path), cfg)
+    np.testing.assert_allclose(np.asarray(params.decoder.embedding),
+                               sd["embedding.weight"].numpy())
+    assert params.decoder.img_projector.weight.shape == (H, RAW)  # conv1x1->Linear
+    assert params.encoder is None  # no img_encoder.* keys in this sd
+
+
 def test_aoa_conversion_shapes():
     rng = np.random.default_rng(2)
     sd = {}
