@@ -114,27 +114,39 @@ def make_vgg_lrp_backward(
     gridTDmodel.py:1147-1152)."""
     x = image.astype(jnp.float32)
     records = []  # (kind, x_in, z_rule, vjp)
+    nonneg = False  # is the current activation provably >= 0 (post-relu)?
     for layer in spec:
         if layer.kind == "conv":
             p = params.convs[layer.param_idx]
             w_pos = ConvParams(jnp.maximum(p.weight, 0.0).astype(jnp.float32), None)
-            w_neg = ConvParams(jnp.minimum(p.weight, 0.0).astype(jnp.float32), None)
+            if nonneg:
+                # post-relu input: relu(x) == x and min(x, 0) == 0, so the
+                # clamped-weight forward collapses to one w+ conv.  The vjp
+                # differs from the clamped one only where x < 0 (nowhere) and
+                # at exact zeros, where R = x * grad = 0 either way — exact.
+                def pos_forward(xx, w_pos=w_pos):
+                    return conv2d(w_pos, xx)
+            else:
+                w_neg = ConvParams(
+                    jnp.minimum(p.weight, 0.0).astype(jnp.float32), None)
 
-            def pos_forward(xx, w_pos=w_pos, w_neg=w_neg):
-                return conv2d(w_pos, jnp.maximum(xx, 0.0)) + conv2d(
-                    w_neg, jnp.minimum(xx, 0.0)
-                )
+                def pos_forward(xx, w_pos=w_pos, w_neg=w_neg):
+                    return conv2d(w_pos, jnp.maximum(xx, 0.0)) + conv2d(
+                        w_neg, jnp.minimum(xx, 0.0)
+                    )
 
             z, vjp = jax.vjp(pos_forward, x)
             records.append(("conv", x, z, vjp))
             x = conv2d(p, x)
+            nonneg = False
         elif layer.kind == "relu":
             records.append(("relu", x, None, None))
             x = jax.nn.relu(x)
+            nonneg = True
         elif layer.kind == "maxpool":
             z, vjp = jax.vjp(maxpool2x2, x)
             records.append(("maxpool", x, z, vjp))
-            x = maxpool2x2(x)
+            x = maxpool2x2(x)  # preserves non-negativity
 
     def backward(r_feature: jax.Array) -> jax.Array:
         r = r_feature.astype(jnp.float32)

@@ -34,13 +34,23 @@ from ..models.resnet import (
 from .rules import EPSILON, safe_divide
 
 
-def _conv_ab_vjp(p: ConvBN, x: jax.Array):
-    """(z+, linear-vjp) for the alpha-beta rule of a strided, bias-free conv."""
-    w_pos = ConvBN(jnp.maximum(p.weight, 0.0), p.bn_scale, p.bn_shift, p.stride)
-    w_neg = ConvBN(jnp.minimum(p.weight, 0.0), p.bn_scale, p.bn_shift, p.stride)
+def _conv_ab_vjp(p: ConvBN, x: jax.Array, *, nonneg: bool = False):
+    """(z+, linear-vjp) for the alpha-beta rule of a strided, bias-free conv.
 
-    def pos_forward(xx):
-        return conv(w_pos, jnp.maximum(xx, 0.0)) + conv(w_neg, jnp.minimum(xx, 0.0))
+    With ``nonneg`` (input provably post-relu) the clamped forward collapses
+    to one w+ conv — exact, since min(x, 0) == 0 and R = x * grad vanishes at
+    the only points where the vjp could differ (x == 0)."""
+    w_pos = ConvBN(jnp.maximum(p.weight, 0.0), p.bn_scale, p.bn_shift, p.stride)
+    if nonneg:
+        def pos_forward(xx):
+            return conv(w_pos, xx)
+    else:
+        w_neg = ConvBN(jnp.minimum(p.weight, 0.0), p.bn_scale, p.bn_shift,
+                       p.stride)
+
+        def pos_forward(xx):
+            return conv(w_pos, jnp.maximum(xx, 0.0)) + conv(
+                w_neg, jnp.minimum(xx, 0.0))
 
     z, vjp = jax.vjp(pos_forward, x.astype(jnp.float32))
     return z, vjp
@@ -80,17 +90,19 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array):
     for stage in params.layers:
         for p in stage:
             rec = {"x_in": x}
-            z1, v1 = _conv_ab_vjp(p.conv1, x)
+            # every conv input here is post-relu (block inputs come out of a
+            # relu; stem output passed through relu+maxpool) -> nonneg
+            z1, v1 = _conv_ab_vjp(p.conv1, x, nonneg=True)
             a1 = conv(p.conv1, x)
             r1 = jax.nn.relu(bn(p.conv1, a1))
-            z2, v2 = _conv_ab_vjp(p.conv2, r1)
+            z2, v2 = _conv_ab_vjp(p.conv2, r1, nonneg=True)
             a2 = conv(p.conv2, r1)
             r2 = jax.nn.relu(bn(p.conv2, a2))
-            z3, v3 = _conv_ab_vjp(p.conv3, r2)
+            z3, v3 = _conv_ab_vjp(p.conv3, r2, nonneg=True)
             a3 = conv(p.conv3, r2)
             b3 = bn(p.conv3, a3)
             if p.downsample is not None:
-                zd, vd = _conv_ab_vjp(p.downsample, x)
+                zd, vd = _conv_ab_vjp(p.downsample, x, nonneg=True)
                 ad = conv(p.downsample, x)
                 idn = bn(p.downsample, ad)
                 rec.update(zd=zd, vd=vd, ad=ad)
