@@ -470,6 +470,96 @@ def test_aoa_lrp_parity_with_reference(reference):
 
 
 @pytest.mark.slow
+def test_aoa_gradient_parity_with_reference(reference):
+    """AoA manual gradient walk (ExplainAOAGradient, aoamodel.py:1257) incl.
+    the differentiated AoA gate and single-head gradient_mha."""
+    _ = reference
+    import models.aoamodel as ref_aoa
+    import models.vgg as ref_vgg
+
+    torch.manual_seed(6)
+    wm_dict = _word_map()
+    vocab = len(wm_dict)
+    NH = 2
+    orig_vgg16 = ref_vgg.vgg16
+    ref_vgg.vgg16 = lambda pretrained=True, **kw: orig_vgg16(
+        pretrained=False, **kw)
+    try:
+        model = ref_aoa.AOAModel(E, H, NH, vocab, "vgg16")
+    finally:
+        ref_vgg.vgg16 = orig_vgg16
+    model.eval()
+
+    explainer = ref_aoa.ExplainAOAGradient.__new__(ref_aoa.ExplainAOAGradient)
+    explainer.args = types.SimpleNamespace(save_path="/tmp/refparity_ag",
+                                           dataset="toy", height=IMG,
+                                           width=IMG, num_head=NH)
+    explainer.word_map = wm_dict
+    explainer.rev_word_map = {v: k for k, v in wm_dict.items()}
+    explainer.vocab_size = vocab
+    explainer.num_head = NH
+    explainer.model = model
+    explainer.language_weight_i = model.LanguageLSTM.weight_ih
+    explainer.language_weight_h = model.LanguageLSTM.weight_hh
+    explainer.language_bias_i = model.LanguageLSTM.bias_ih
+    explainer.language_bias_h = model.LanguageLSTM.bias_hh
+    explainer.output_weight = model.fc.weight
+
+    rng = np.random.default_rng(6)
+    img = rng.normal(size=(1, 3, IMG, IMG)).astype(np.float32)
+    explainer.preprocess_img = lambda path: torch.tensor(img)
+    fixed_words = ["w1", "w8", "w3"]
+    fixed_ids = [wm_dict[w] for w in fixed_words]
+    model.beam_search = (
+        lambda img, wm, beam_size=3, max_cap_length=20:
+        ([" ".join(fixed_words)], list(fixed_ids))
+    )
+    with torch.no_grad():
+        explainer.get_hidden_parameters("fake.jpg")
+    explainer.image_feature_proj = explainer.image_feature_proj.transpose(1, 2)
+    T = explainer.caption_length
+    t, head = min(T - 1, 1), 1
+    with torch.no_grad():
+        d_feat, d_words = explainer.explain_caption_wordt(t, head)
+
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.config import ModelConfig
+    from lrp_imagecaptioning_tpu.explain.aoa_gradient import gradient_word
+    from lrp_imagecaptioning_tpu.explain.aoa_lrp import stash_forward as aoa_stash
+    from lrp_imagecaptioning_tpu.models import aoa
+    from lrp_imagecaptioning_tpu.models.encoders import encode_image_grid
+    from lrp_imagecaptioning_tpu.models.torch_weights import (
+        convert_aoa,
+        convert_encoder,
+    )
+
+    cfg = ModelConfig(model_type="aoa", encoder="vgg16", embed_dim=E,
+                      hidden_dim=H, num_head=NH, vocab_size=vocab,
+                      num_pixels=196)
+    sd = model.state_dict()
+    dec = convert_aoa(sd, cfg)
+    enc = convert_encoder(sd, cfg)
+    img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+    raw, _ = encode_image_grid(enc, img_nhwc)
+    feats = aoa.encode_features(dec, raw)
+    tokens = jnp.asarray(explainer.beam_caption_encode[:T], jnp.int32)
+    # gradient explainer uses correct biases (aoamodel.py:1298)
+    stash = aoa_stash(dec, feats, tokens, num_head=NH,
+                      language_double_bias_i=False)
+    target = int(explainer.beam_caption_encode[t + 1])
+    we = gradient_word(dec, feats, stash, jnp.asarray(t),
+                       target=jnp.asarray(target),
+                       head_idx=jnp.asarray(head), num_head=NH)
+    got = np.asarray(we.r_img_feature).reshape(14, 14, 512)
+    want = d_feat.detach().numpy()[0].transpose(1, 2, 0)
+    assert np.abs(got - want).mean() <= 1e-4
+    np.testing.assert_allclose(np.asarray(we.r_words)[: t + 1],
+                               d_words.detach().numpy()[: t + 1],
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_resnet_cnn_lrp_parity_with_reference(reference):
     """Hook-based reference LRP through ResNet-50 (alpha-beta convs, BN-abs,
     Add split, maxpool, identity relus) vs our explicit interpreter."""
