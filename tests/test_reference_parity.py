@@ -560,6 +560,93 @@ def test_aoa_gradient_parity_with_reference(reference):
 
 
 @pytest.mark.slow
+def test_adaptive_gradient_parity_with_reference(reference):
+    """Adaptive manual gradient walk (ExplainAdaptiveGradient,
+    adaptiveattention.py:851)."""
+    _ = reference
+    import models.adaptiveattention as ref_ada
+    import models.vgg as ref_vgg
+
+    torch.manual_seed(7)
+    wm_dict = _word_map()
+    vocab = len(wm_dict)
+    EA = HA = 12
+    orig_vgg16 = ref_vgg.vgg16
+    ref_vgg.vgg16 = lambda pretrained=True, **kw: orig_vgg16(
+        pretrained=False, **kw)
+    try:
+        model = ref_ada.AdaptiveAttentionCaptioningModel(EA, HA, vocab, "vgg16")
+    finally:
+        ref_vgg.vgg16 = orig_vgg16
+    model.eval()
+
+    explainer = ref_ada.ExplainAdaptiveGradient.__new__(
+        ref_ada.ExplainAdaptiveGradient)
+    explainer.args = types.SimpleNamespace(save_path="/tmp/refparity_adg",
+                                           dataset="toy", height=IMG,
+                                           width=IMG)
+    explainer.word_map = wm_dict
+    explainer.vocab_size = vocab
+    explainer.model = model
+    explainer.adalstm_weight_i = model.AdaLSTM.lstm_cell.weight_ih
+    explainer.adalstm_weight_h = model.AdaLSTM.lstm_cell.weight_hh
+    explainer.adalstm_bias_i = model.AdaLSTM.lstm_cell.bias_ih
+    explainer.adalstm_bias_h = model.AdaLSTM.lstm_cell.bias_hh
+    explainer.output_weight = model.fc.weight
+
+    rng = np.random.default_rng(7)
+    img = rng.normal(size=(1, 3, IMG, IMG)).astype(np.float32)
+    explainer.preprocess_img = lambda path: torch.tensor(img)
+    fixed_words = ["w6", "w2", "w9"]
+    fixed_ids = [wm_dict[w] for w in fixed_words]
+    model.beam_search = (
+        lambda img, wm, beam_size=3, max_cap_length=20:
+        ([" ".join(fixed_words)], list(fixed_ids))
+    )
+    with torch.no_grad():
+        explainer.get_hidden_parameters("fake.jpg")
+    explainer.image_feature_proj = explainer.image_feature_proj.transpose(1, 2)
+    T = explainer.caption_length
+    t = min(T - 1, 1)
+    with torch.no_grad():
+        d_feat, d_words = explainer.explain_caption_wordt(t)
+
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.config import ModelConfig
+    from lrp_imagecaptioning_tpu.explain.adaptive_lrp import (
+        gradient_word as ada_gradient_word,
+        stash_forward as ada_stash,
+    )
+    from lrp_imagecaptioning_tpu.models import gridtd
+    from lrp_imagecaptioning_tpu.models.encoders import encode_image_grid
+    from lrp_imagecaptioning_tpu.models.torch_weights import (
+        convert_adaptive,
+        convert_encoder,
+    )
+
+    cfg = ModelConfig(model_type="adaptive", encoder="vgg16", embed_dim=EA,
+                      hidden_dim=HA, vocab_size=vocab, num_pixels=196)
+    sd = model.state_dict()
+    dec = convert_adaptive(sd, cfg)
+    enc = convert_encoder(sd, cfg)
+    img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+    raw, avg = encode_image_grid(enc, img_nhwc)
+    feats = gridtd.encode_features(dec, raw, avg)
+    tokens = jnp.asarray(explainer.beam_caption_encode[:T], jnp.int32)
+    stash = ada_stash(dec, feats, tokens)
+    target = int(explainer.beam_caption_encode[t + 1])
+    we = ada_gradient_word(dec, feats, stash, jnp.asarray(t),
+                           target=jnp.asarray(target))
+    got = np.asarray(we.r_img_feature).reshape(14, 14, 512)
+    want = d_feat.detach().numpy()[0].transpose(1, 2, 0)
+    assert np.abs(got - want).mean() <= 1e-4
+    np.testing.assert_allclose(np.asarray(we.r_words)[: t + 1],
+                               d_words.detach().numpy()[: t + 1],
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_resnet_cnn_lrp_parity_with_reference(reference):
     """Hook-based reference LRP through ResNet-50 (alpha-beta convs, BN-abs,
     Add split, maxpool, identity relus) vs our explicit interpreter."""
