@@ -13,7 +13,6 @@ import os
 import re
 from typing import Any
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -22,7 +22,6 @@ import numpy as np
 
 from ..data.vocab import WordMap
 from ..metrics.bleu import corpus_bleu
-from ..metrics.cider import cider_score
 
 
 def array_to_str(arr, word_map: WordMap) -> str:

@@ -23,7 +23,6 @@ step function with dropout off.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
 from typing import Any, Callable
 
 import jax

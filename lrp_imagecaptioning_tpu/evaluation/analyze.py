@@ -22,6 +22,10 @@ def analyze_bbox(save_root: str, explanation_types: list[str], *,
         if ex == "attention":
             files = glob.glob(os.path.join(save_root, "bbox", "lrp",
                                            "*attention_correctness.json"))
+        elif ex.endswith("_merge"):
+            # merged AoA head files keep the base type in their name
+            # (analyze_bbox_aoa globs *.json, evaluation.py:1119-1123)
+            files = glob.glob(os.path.join(save_root, "bbox", ex, "*.json"))
         else:
             files = glob.glob(os.path.join(save_root, "bbox", ex,
                                            f"*{ex}correctness.json"))

@@ -275,7 +275,8 @@ class ExplanationEvaluator:
     def bbox_experiment(self, category_dict: dict, item: dict, save_path: str,
                         explanation_type: str = "lrp", *,
                         do_attention: bool = False,
-                        image: np.ndarray | None = None) -> dict:
+                        image: np.ndarray | None = None,
+                        file_tag: str | None = None) -> dict:
         image = self._load(item, image)
         height = image.shape[1]
         exp = self.explainer.explain_caption_arrays(image)
@@ -310,8 +311,8 @@ class ExplanationEvaluator:
                             if sa > cur_a:
                                 att_correct[name][key][str(th)] = sa
         os.makedirs(save_path, exist_ok=True)
-        with open(os.path.join(save_path,
-                               f"{name}_{explanation_type}correctness.json"),
+        tag = file_tag if file_tag is not None else explanation_type
+        with open(os.path.join(save_path, f"{name}_{tag}correctness.json"),
                   "w") as f:
             json.dump(correctness, f)
         if do_attention:
@@ -382,6 +383,32 @@ class ExplanationEvaluator:
         from ..data.dataset import load_image
 
         return load_image(item["image_path"], 224, 224)[None]
+
+
+def generate_evaluation_files_aoa_heads(
+    make_explainer,  # head_idx -> explainer
+    items: list[dict],
+    save_root: str,
+    *,
+    num_head: int,
+    explanation_type: str = "lrp",
+    category_dict: dict | None = None,
+):
+    """Per-head AoA bbox-correctness files named ``<img>_<h><type>...`` so
+    :func:`..analyze.merge_multihead_bbox` can max-merge them
+    (EvaluationExperimentsAOA, evaluation.py:576-773)."""
+    for h in range(num_head):
+        explainer = make_explainer(h)
+        ev = ExplanationEvaluator(explainer)
+        for item in items:
+            name = os.path.basename(item["image_path"])
+            if category_dict is None or name not in category_dict:
+                continue
+            ev.bbox_experiment(
+                category_dict, item,
+                os.path.join(save_root, "bbox", explanation_type),
+                explanation_type, file_tag=f"{h}{explanation_type}",
+            )
 
 
 def generate_evaluation_files(

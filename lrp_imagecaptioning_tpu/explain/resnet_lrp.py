@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from ..models.resnet import (
-    BottleneckParams,
     ConvBN,
     ResNetParams,
     bn,
