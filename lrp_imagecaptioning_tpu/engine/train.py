@@ -393,9 +393,11 @@ class Trainer:
     # -- validation -----------------------------------------------------
     def validate(self, state: TrainState, ds: CaptionDataset, *,
                  beam_size: int = 3, eval_batch: int = 8,
-                 max_cap_length: int = 20) -> tuple[float, float]:
-        """Beam-search decode the val split, score BLEU-4 + CIDEr
-        (train.py:288-337)."""
+                 max_cap_length: int = 20,
+                 full_metrics: bool = False) -> tuple[float, float]:
+        """Beam-search decode the val split, score BLEU-4 + CIDEr; with
+        ``full_metrics`` also SPICE/ROUGE like the reference's per-epoch print
+        (train.py:328-336)."""
         cap = self.captioner
 
         def decode_batch(params, images):
@@ -425,6 +427,17 @@ class Trainer:
                 image_id += 1
         bleu = BLEU().calculate(hypotheses, references)["bleu_4"]
         cider = CIDEr().calculate(hypotheses, references)["cider"]
+        if full_metrics:
+            import warnings
+
+            from ..metrics import ROUGE, SPICE
+
+            rouge = ROUGE().calculate(hypotheses, references)["rouge"]
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                spice = SPICE().calculate(hypotheses, references)["spice"]
+            print(f"BLEU-4: {bleu:.4f}, Cider: {cider:.4f}, "
+                  f"SPICE: {spice:.4f}, ROUGE: {rouge:.4f}")
         return float(bleu), float(cider)
 
     # -- full fit -------------------------------------------------------
