@@ -445,6 +445,8 @@ class Trainer:
             epochs: int | None = None, state: TrainState | None = None,
             validate_beam: int = 3, on_epoch_end: Callable | None = None,
             save_checkpoints: bool = False):
+        from ..utils.profiling import StepTimer
+
         t = self.tcfg
         rng = jax.random.PRNGKey(t.seed)
         if state is None:
@@ -453,6 +455,7 @@ class Trainer:
         best_cider = 0.0
         epochs_since_improvement = 0
         history = []
+        timer = StepTimer()
         mode = t.mode
         for epoch in range(epochs if epochs is not None else t.epochs):
             if epochs_since_improvement >= t.plateau_patience:
@@ -460,26 +463,33 @@ class Trainer:
                 epochs_since_improvement = 0
                 print(f"DECAYING learning rate -> {self.current_lr(state):.6f}")
             t0 = time.time()
-            if mode == "xe":
-                state, loss, rng = self.train_epoch_xe(state, train_ds, epoch, rng)
-            elif mode == "cider":
-                state, loss, rng = self.train_epoch_scst(state, train_ds, epoch, rng)
-            elif mode == "lrp":
-                state, loss, rng = self.train_epoch_lrp(state, train_ds, epoch, rng)
-            elif mode == "lrp_cider":
-                state, loss, rng = self.train_epoch_scst(
-                    state, train_ds, epoch, rng, use_lrp=True
-                )
-            else:
-                raise NotImplementedError(f"unknown mode {mode}")
-            bleu, cider = self.validate(state, val_ds, beam_size=validate_beam)
+            with timer.measure(f"train_{mode}"):
+                if mode == "xe":
+                    state, loss, rng = self.train_epoch_xe(state, train_ds,
+                                                           epoch, rng)
+                elif mode == "cider":
+                    state, loss, rng = self.train_epoch_scst(state, train_ds,
+                                                             epoch, rng)
+                elif mode == "lrp":
+                    state, loss, rng = self.train_epoch_lrp(state, train_ds,
+                                                            epoch, rng)
+                elif mode == "lrp_cider":
+                    state, loss, rng = self.train_epoch_scst(
+                        state, train_ds, epoch, rng, use_lrp=True
+                    )
+                else:
+                    raise NotImplementedError(f"unknown mode {mode}")
+            with timer.measure("validate"):
+                bleu, cider = self.validate(state, val_ds,
+                                            beam_size=validate_beam)
             is_best = cider > best_cider
             best_cider = max(cider, best_cider)
             epochs_since_improvement = 0 if is_best else epochs_since_improvement + 1
             history.append(dict(epoch=epoch, loss=loss, bleu4=bleu, cider=cider,
                                 seconds=time.time() - t0))
             print(f"Epoch {epoch}: loss {loss:.4f} BLEU-4 {bleu:.4f} "
-                  f"CIDEr {cider:.4f} ({history[-1]['seconds']:.1f}s)")
+                  f"CIDEr {cider:.4f} ({history[-1]['seconds']:.1f}s; "
+                  f"{timer.report()})")
             if on_epoch_end is not None:
                 on_epoch_end(state, epoch, dict(bleu4=bleu, cider=cider,
                                                 is_best=is_best))
