@@ -2,9 +2,6 @@
 params must produce the same decoder step as torch computing the reference
 formulas (predict_next_word, gridTDmodel.py:137-144)."""
 
-import math
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 import torch

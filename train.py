@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lrp-cider-tune", action="store_true")
     p.add_argument("--save-path", type=str, default="./output")
     p.add_argument("--resume", type=str, default="")
+    p.add_argument("--resume-best", action="store_true",
+                   help="resume from the highest-CIDEr checkpoint under "
+                        "save_path (the reference globs BEST_checkpoint_*, "
+                        "train.py:348)")
     p.add_argument("--print-freq", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-parallel", type=int, default=-1)
@@ -121,6 +125,15 @@ def main(args=None):
 
     trainer = Trainer(exp, word_map)
     state = None
+    if getattr(args, "resume_best", False) and not exp.resume:
+        from lrp_imagecaptioning_tpu.engine.checkpoint import (
+            find_best_checkpoint,
+        )
+
+        best = find_best_checkpoint(exp.save_path, exp.model.encoder,
+                                    exp.train.dataset)
+        if best:
+            exp = exp.replace(resume=best)
     if exp.resume:
         from lrp_imagecaptioning_tpu.engine.checkpoint import restore_checkpoint
 
