@@ -29,7 +29,21 @@ def main():
     ap.add_argument("--max-words", type=int, default=0)
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # persistent compilation cache: the full-size program takes ~10 min to
+    # compile through the remote helper; cache hits make reruns start in
+    # seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import numpy as np
 
