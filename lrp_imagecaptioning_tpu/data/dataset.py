@@ -102,6 +102,8 @@ class CaptionDataset:
 
     def _load_visual(self, item: dict) -> np.ndarray:
         path = item["image_path"]
+        if "image_array" in item:  # toy/in-memory datasets (either path)
+            return np.asarray(item["image_array"], dtype=np.float32)
         if self.from_features:
             # BU path: per-image HDF5 with (<=36, 2048) region features,
             # zero-padded to 36 rows (dataloader.py:80-96).

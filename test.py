@@ -14,6 +14,8 @@ import os
 def main(argv=None):
     p = argparse.ArgumentParser(description="Evaluate image captioning (TPU)")
     p.add_argument("--weight", type=str, required=False, default="")
+    p.add_argument("--torch-weight", type=str, default="",
+                   help="reference .pth checkpoint (converted on load)")
     p.add_argument("--wordmap", type=str, required=False)
     p.add_argument("--test-json", type=str, required=False)
     p.add_argument("--model-type", default="gridtd")
@@ -66,7 +68,16 @@ def main(argv=None):
 
     cap = Captioner(cfg)
     params = cap.init(jax.random.PRNGKey(0))
-    if args.weight:
+    if args.torch_weight:
+        from lrp_imagecaptioning_tpu.models.torch_weights import (
+            load_reference_checkpoint,
+        )
+
+        loaded = load_reference_checkpoint(args.torch_weight, cfg)
+        if loaded.encoder is None and not cfg.is_bu:
+            loaded = loaded.replace(encoder=params.encoder)
+        params = loaded
+    elif args.weight:
         from lrp_imagecaptioning_tpu.config import ExperimentConfig
         from lrp_imagecaptioning_tpu.engine.checkpoint import load_for_eval
         from lrp_imagecaptioning_tpu.engine.train import Trainer
