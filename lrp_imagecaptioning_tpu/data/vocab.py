@@ -145,6 +145,12 @@ BAD_ENDINGS = [
 BAD_ENDINGS_AOA = BAD_ENDINGS[:-1]
 
 
+def bad_endings_for(model_type: str) -> list[str]:
+    """The AoA family ships its own list without 'and' (aoamodel.py:22);
+    gridTD/adaptive use the full list (gridTDmodel.py:21)."""
+    return BAD_ENDINGS_AOA if model_type.startswith("aoa") else BAD_ENDINGS
+
+
 def remove_bad_endings(sentences: list[str], bad_endings: Sequence[str] = tuple(BAD_ENDINGS)) -> list[str]:
     """Trim trailing function words (gridTDmodel.py:284-302): if trimming would
     empty the sentence, the original is kept."""

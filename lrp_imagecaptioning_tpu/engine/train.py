@@ -33,7 +33,12 @@ from flax import struct
 
 from ..config import ExperimentConfig
 from ..data.dataset import CaptionDataset
-from ..data.vocab import WordMap, decode_to_words, remove_bad_endings
+from ..data.vocab import (
+    WordMap,
+    bad_endings_for,
+    decode_to_words,
+    remove_bad_endings,
+)
 from ..metrics import BLEU, CIDEr
 from ..models.captioner import Captioner, CaptionerParams
 from ..parallel import batch_sharding, build_mesh, param_shardings, replicated
@@ -418,7 +423,8 @@ class Trainer:
                 if not eb.valid[j]:
                     continue
                 words = decode_to_words(toks[j][: lens[j]], self.word_map)
-                sentence = remove_bad_endings([" ".join(words)])[0]
+                sentence = remove_bad_endings(
+                    [" ".join(words)], bad_endings_for(self.cfg.model_type))[0]
                 hypotheses[image_id] = [{"caption": sentence}]
                 references[image_id] = [
                     {"caption": " ".join(decode_to_words(r, self.word_map))}

@@ -41,7 +41,7 @@ def main(argv=None):
     from lrp_imagecaptioning_tpu.config import ModelConfig
     from lrp_imagecaptioning_tpu.data.dataset import CaptionDataset, toy_dataset
     from lrp_imagecaptioning_tpu.data.vocab import (
-        WordMap, decode_to_words, remove_bad_endings,
+        WordMap, bad_endings_for, decode_to_words, remove_bad_endings,
     )
     from lrp_imagecaptioning_tpu.metrics import BLEU, CIDEr, METEOR, ROUGE, SPICE
     from lrp_imagecaptioning_tpu.models.captioner import Captioner
@@ -86,6 +86,7 @@ def main(argv=None):
         params = load_for_eval(args.weight, trainer.init_state(jax.random.PRNGKey(0)))
 
     hypotheses, references, predictions_save = {}, {}, {}
+    gt_save = {}
     image_id = 0
 
     if args.decode == "dbs":
@@ -134,13 +135,20 @@ def main(argv=None):
             if not eb.valid[j]:
                 continue
             words = decode_to_words(toks[j][: lens[j]], word_map)
-            sentence = remove_bad_endings([" ".join(words)])[0]
+            sentence = remove_bad_endings(
+                [" ".join(words)], bad_endings_for(args.model_type))[0]
             hypotheses[image_id] = [{"caption": sentence}]
             references[image_id] = [
                 {"caption": " ".join(decode_to_words(r, word_map))}
                 for r in eb.all_captions[j]
             ]
             predictions_save.setdefault(fname, []).append(sentence)
+            # reference test.py:84-96 keeps a per-image deduped list of
+            # ground-truth captions for the references YAML
+            gt_save.setdefault(fname, [])
+            for r in references[image_id]:
+                if r["caption"] not in gt_save[fname]:
+                    gt_save[fname].append(r["caption"])
             image_id += 1
 
     metrics = {}
@@ -154,6 +162,8 @@ def main(argv=None):
     os.makedirs(args.save_path, exist_ok=True)
     with open(os.path.join(args.save_path, "predictions.yaml"), "w") as f:
         yaml.safe_dump(predictions_save, f)
+    with open(os.path.join(args.save_path, "references.yaml"), "w") as f:
+        yaml.safe_dump(gt_save, f)
     with open(os.path.join(args.save_path, "metrics.yaml"), "w") as f:
         yaml.safe_dump({k: float(v) for k, v in metrics.items()}, f)
     return metrics

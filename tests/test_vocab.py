@@ -41,6 +41,21 @@ def test_remove_bad_endings():
     assert remove_bad_endings(["a dog"]) == ["a dog"]
 
 
+def test_bad_endings_family_split():
+    """AoA's list omits 'and' (aoamodel.py:22 vs gridTDmodel.py:21) — a
+    caption ending in 'and' must survive AoA post-processing but be trimmed
+    for gridTD/adaptive."""
+    from lrp_imagecaptioning_tpu.data.vocab import bad_endings_for
+
+    sent = ["a dog and a cat and"]
+    assert remove_bad_endings(sent, bad_endings_for("gridtd")) == [
+        "a dog and a cat"]
+    assert remove_bad_endings(sent, bad_endings_for("adaptive")) == [
+        "a dog and a cat"]
+    assert remove_bad_endings(sent, bad_endings_for("aoa")) == sent
+    assert remove_bad_endings(sent, bad_endings_for("aoa_bu")) == sent
+
+
 def test_roundtrip_save_load(tmp_path):
     wm = build_word_map([["x", "y"]], min_word_freq=1)
     p = tmp_path / "wm.json"
