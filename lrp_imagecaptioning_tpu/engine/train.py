@@ -154,13 +154,31 @@ class Trainer:
             self._compiled[name] = jax.jit(fn, **kw)
         return self._compiled[name]
 
+    # -- shared fine-tuning encode ---------------------------------------
+    def _train_encode(self, params, images):
+        """Encode for a gradient step.  Returns (feats, bn_stats) where
+        bn_stats is the encoder tree with refreshed BN running stats when
+        finetuning a ResNet (train-mode BatchNorm, reference train.py:95-109),
+        else None."""
+        if self.tcfg.finetune_encoder:
+            return self.captioner.encode_train(params, images)
+        return self.captioner.encode(
+            params, images, stop_encoder_gradient=True), None
+
+    def _apply_bn_stats(self, params, bn_stats):
+        """Fold the step's BN running stats back into the (already
+        optimizer-updated) params so eval/LRP see the tuned BN."""
+        if bn_stats is None:
+            return params
+        from ..models.resnet import merge_bn_stats
+
+        return params.replace(
+            encoder=merge_bn_stats(params.encoder, bn_stats))
+
     # -- XE mode --------------------------------------------------------
     def xe_step(self, state: TrainState, images, captions, rng):
         def loss_fn(params):
-            feats = self.captioner.encode(
-                params, images,
-                stop_encoder_gradient=not self.tcfg.finetune_encoder,
-            )
+            feats, bn_stats = self._train_encode(params, images)
             num_steps = captions.shape[1] - 1
             logits, _, _ = self.captioner.forward(
                 params, feats, captions, num_steps=num_steps,
@@ -169,11 +187,13 @@ class Trainer:
             targets = captions[:, 1:]
             loss = cross_entropy_loss(logits, targets, self.pad_id)
             acc = top1_accuracy(logits, targets, self.pad_id)
-            return loss, acc
+            return loss, (acc, bn_stats)
 
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (acc, bn_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params = self._apply_bn_stats(
+            optax.apply_updates(state.params, updates), bn_stats)
         return state.replace(params=params, opt_state=opt_state,
                              step=state.step + 1), loss, acc
 
@@ -204,10 +224,7 @@ class Trainer:
         recover its logprobs with gradients attached."""
 
         def loss_fn(params):
-            feats = self.captioner.encode(
-                params, images,
-                stop_encoder_gradient=not self.tcfg.finetune_encoder,
-            )
+            feats, bn_stats = self._train_encode(params, images)
             b, ts = sampled.shape
             start_col = jnp.full((b, 1), self.word_map.start, jnp.int32)
             inputs = jnp.concatenate([start_col, sampled], axis=1)
@@ -216,11 +233,13 @@ class Trainer:
             )
             logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
             lp = jnp.take_along_axis(logprobs, sampled[..., None], -1)[..., 0]
-            return reward_criterion(lp, sampled, reward)
+            return reward_criterion(lp, sampled, reward), bn_stats
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        (loss, bn_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params = self._apply_bn_stats(
+            optax.apply_updates(state.params, updates), bn_stats)
         return state.replace(params=params, opt_state=opt_state,
                              step=state.step + 1), loss
 
@@ -255,10 +274,7 @@ class Trainer:
         (train_lrp, train.py:211-242)."""
 
         def loss_fn(params):
-            feats = self.captioner.encode(
-                params, images,
-                stop_encoder_gradient=not self.tcfg.finetune_encoder,
-            )
+            feats, bn_stats = self._train_encode(params, images)
             num_steps = captions.shape[1] - 1
             logits, weighted = self.captioner.forward_lrp(
                 params, feats, captions, self.stop_mask, num_steps=num_steps
@@ -269,11 +285,13 @@ class Trainer:
                 + cross_entropy_loss(weighted, targets, self.pad_id)
             )
             acc = top1_accuracy(logits, targets, self.pad_id)
-            return loss, acc
+            return loss, (acc, bn_stats)
 
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (acc, bn_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params = self._apply_bn_stats(
+            optax.apply_updates(state.params, updates), bn_stats)
         return state.replace(params=params, opt_state=opt_state,
                              step=state.step + 1), loss, acc
 
@@ -296,10 +314,7 @@ class Trainer:
         teacher-forcing the sampled sequence through forward_lrp)."""
 
         def loss_fn(params):
-            feats = self.captioner.encode(
-                params, images,
-                stop_encoder_gradient=not self.tcfg.finetune_encoder,
-            )
+            feats, bn_stats = self._train_encode(params, images)
             b, ts = sampled.shape
             start_col = jnp.full((b, 1), self.word_map.start, jnp.int32)
             inputs = jnp.concatenate([start_col, sampled], axis=1)
@@ -308,11 +323,13 @@ class Trainer:
             )
             logprobs = jax.nn.log_softmax(weighted.astype(jnp.float32), -1)
             lp = jnp.take_along_axis(logprobs, sampled[..., None], -1)[..., 0]
-            return reward_criterion(lp, sampled, reward)
+            return reward_criterion(lp, sampled, reward), bn_stats
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        (loss, bn_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params = self._apply_bn_stats(
+            optax.apply_updates(state.params, updates), bn_stats)
         return state.replace(params=params, opt_state=opt_state,
                              step=state.step + 1), loss
 

@@ -230,6 +230,23 @@ class Captioner:
             avg = jax.lax.stop_gradient(avg)
         return self.family.encode(params.decoder, raw, avg)
 
+    def encode_train(self, params: CaptionerParams, visual: jax.Array):
+        """Fine-tuning encode (gradients flow into the CNN, train.py:95-109):
+        for ResNet encoders BatchNorm runs on batch statistics and the updated
+        running stats come back as the second return (an encoder-params pytree
+        whose mean/var fields are refreshed; None for VGG/BU where there is no
+        BN state)."""
+        if self.cfg.is_bu:
+            return self.family.encode(params.decoder, visual, None), None
+        if self.cfg.encoder.startswith("resnet"):
+            from .resnet import encode_image_grid_resnet_train
+
+            raw, avg, new_enc = encode_image_grid_resnet_train(
+                params.encoder, visual)
+            return self.family.encode(params.decoder, raw, avg), new_enc
+        raw, avg = encode_image_grid(params.encoder, visual)
+        return self.family.encode(params.decoder, raw, avg), None
+
     # -- teacher-forced forward ------------------------------------------
     def forward(self, params, feats, captions, *, num_steps, ss_prob=None,
                 rng=None, train=True):

@@ -20,10 +20,30 @@ from flax import struct
 
 @struct.dataclass
 class ConvBN:
+    """Conv + BatchNorm.
+
+    Inference/LRP always consume the folded affine form (bn_scale/bn_shift) —
+    the layout the reference's BN LRP rule needs (lrp_modules.py:210-215).
+    The raw BN parameters (gamma/beta) and running stats (mean/var) are kept
+    so ``finetune_encoder`` can train BN the way the reference does
+    (train.py:95-109 puts the whole encoder incl. BatchNorm into train mode):
+    batch-stat normalization + running-stat updates via
+    ``resnet_forward_train``, refolded into bn_scale/bn_shift by ``fold_bn``.
+    ``gamma`` is None for params converted before this field existed.
+    """
+
     weight: jax.Array  # (Kh, Kw, Cin, Cout) HWIO, no bias (resnet convs)
     bn_scale: jax.Array  # (Cout,) gamma / sqrt(var + eps)
     bn_shift: jax.Array  # (Cout,) beta - mean * scale
     stride: int = struct.field(pytree_node=False, default=1)
+    gamma: jax.Array | None = None  # (Cout,) trainable BN weight
+    beta: jax.Array | None = None  # (Cout,) trainable BN bias
+    mean: jax.Array | None = None  # (Cout,) running mean (not trained)
+    var: jax.Array | None = None  # (Cout,) running var (not trained)
+
+    @property
+    def has_raw_bn(self) -> bool:
+        return self.gamma is not None
 
 
 @struct.dataclass
@@ -57,6 +77,73 @@ def bn(p: ConvBN, x: jax.Array) -> jax.Array:
     return x * p.bn_scale + p.bn_shift
 
 
+BN_EPS = 1e-5  # torch BatchNorm2d default
+BN_MOMENTUM = 0.1  # torch BatchNorm2d default
+
+
+def bn_train(p: ConvBN, x: jax.Array, momentum: float = BN_MOMENTUM
+             ) -> tuple[jax.Array, ConvBN]:
+    """Train-mode BatchNorm (torch semantics): normalize with BIASED batch
+    stats, update running stats with the UNBIASED variance; returns the
+    normalized output and the ConvBN with refreshed mean/var."""
+    assert p.has_raw_bn, "ConvBN lacks raw BN params; reconvert/reinit"
+    axes = (0, 1, 2)
+    bm = jnp.mean(x, axes)
+    bv = jnp.mean(jnp.square(x - bm), axes)
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    unbiased = bv * (n / max(n - 1, 1))
+    y = p.gamma * (x - bm) * jax.lax.rsqrt(bv + BN_EPS) + p.beta
+    new_mean = (1.0 - momentum) * p.mean + momentum * bm
+    new_var = (1.0 - momentum) * p.var + momentum * unbiased
+    return y, p.replace(
+        mean=jax.lax.stop_gradient(new_mean),
+        var=jax.lax.stop_gradient(new_var),
+    )
+
+
+def fold_convbn(p: ConvBN) -> ConvBN:
+    """Recompute the folded affine from raw gamma/beta + running stats (no-op
+    for params without raw BN)."""
+    if not p.has_raw_bn:
+        return p
+    scale = p.gamma * jax.lax.rsqrt(p.var + BN_EPS)
+    return p.replace(bn_scale=scale, bn_shift=p.beta - p.mean * scale)
+
+
+def map_convbn(f, params: "ResNetParams") -> "ResNetParams":
+    """Apply ``f: ConvBN -> ConvBN`` to every ConvBN in the network."""
+    def block(b: BottleneckParams) -> BottleneckParams:
+        return BottleneckParams(
+            conv1=f(b.conv1), conv2=f(b.conv2), conv3=f(b.conv3),
+            downsample=None if b.downsample is None else f(b.downsample),
+        )
+
+    return ResNetParams(
+        f(params.stem),
+        tuple(tuple(block(b) for b in stage) for stage in params.layers),
+    )
+
+
+def fold_bn(params: "ResNetParams") -> "ResNetParams":
+    """Refold every BN's scale/shift from its raw params — call after a train
+    step so inference/LRP (which read bn_scale/bn_shift) see the tuned BN."""
+    return map_convbn(fold_convbn, params)
+
+
+def merge_bn_stats(params: "ResNetParams",
+                   stats_src: "ResNetParams") -> "ResNetParams":
+    """Copy running mean/var from ``stats_src`` (the tree returned by
+    ``resnet_forward_train``) into ``params`` (whose weights the optimizer may
+    have just updated), then refold scale/shift so eval/LRP stay consistent."""
+    def m(p: ConvBN, s: ConvBN) -> ConvBN:
+        if not p.has_raw_bn:
+            return p
+        return fold_convbn(p.replace(mean=s.mean, var=s.var))
+
+    return jax.tree_util.tree_map(
+        m, params, stats_src, is_leaf=lambda x: isinstance(x, ConvBN))
+
+
 def maxpool3x3s2(x: jax.Array) -> jax.Array:
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
@@ -81,6 +168,39 @@ def resnet_forward(params: ResNetParams, x: jax.Array) -> jax.Array:
     return x
 
 
+def bottleneck_forward_train(
+    p: BottleneckParams, x: jax.Array
+) -> tuple[jax.Array, BottleneckParams]:
+    out, c1 = bn_train(p.conv1, conv(p.conv1, x))
+    out = jax.nn.relu(out)
+    out, c2 = bn_train(p.conv2, conv(p.conv2, out))
+    out = jax.nn.relu(out)
+    out, c3 = bn_train(p.conv3, conv(p.conv3, out))
+    if p.downsample is None:
+        identity, down = x, None
+    else:
+        identity, down = bn_train(p.downsample, conv(p.downsample, x))
+    return jax.nn.relu(out + identity), BottleneckParams(c1, c2, c3, down)
+
+
+def resnet_forward_train(
+    params: ResNetParams, x: jax.Array
+) -> tuple[jax.Array, ResNetParams]:
+    """Train-mode forward (batch-stat BN): returns features and the params
+    with refreshed running stats (weights untouched)."""
+    x, stem = bn_train(params.stem, conv(params.stem, x))
+    x = jax.nn.relu(x)
+    x = maxpool3x3s2(x)
+    new_layers = []
+    for stage in params.layers:
+        new_stage = []
+        for block in stage:
+            x, nb = bottleneck_forward_train(block, x)
+            new_stage.append(nb)
+        new_layers.append(tuple(new_stage))
+    return x, ResNetParams(stem, tuple(new_layers))
+
+
 def encode_image_grid_resnet(
     params: ResNetParams, images: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
@@ -91,12 +211,30 @@ def encode_image_grid_resnet(
     return grid, grid.mean(axis=1)
 
 
+def encode_image_grid_resnet_train(
+    params: ResNetParams, images: jax.Array
+) -> tuple[jax.Array, jax.Array, ResNetParams]:
+    """Train-mode variant: also returns params with updated running stats."""
+    fm, new_params = resnet_forward_train(params, images)
+    b, h, w, c = fm.shape
+    grid = fm.reshape(b, h * w, c)
+    return grid, grid.mean(axis=1), new_params
+
+
 # -- init / conversion ------------------------------------------------------
 
 def _init_convbn(rng, kh, cin, cout, stride=1, dtype=jnp.float32) -> ConvBN:
     fan_out = kh * kh * cout
     w = jax.random.normal(rng, (kh, kh, cin, cout), dtype) * jnp.sqrt(2.0 / fan_out)
-    return ConvBN(w, jnp.ones((cout,), dtype), jnp.zeros((cout,), dtype), stride)
+    # distinct buffers per field — shared arrays break donation under jit
+    def ones():
+        return jnp.ones((cout,), dtype)
+
+    def zeros():
+        return jnp.zeros((cout,), dtype)
+
+    return ConvBN(w, ones(), zeros(), stride,
+                  gamma=ones(), beta=zeros(), mean=zeros(), var=ones())
 
 
 def init_resnet(rng: jax.Array, arch: str = "resnet101",
@@ -126,18 +264,25 @@ def init_resnet(rng: jax.Array, arch: str = "resnet101",
 
 
 def convbn_from_torch(conv_w_oihw, gamma, beta, mean, var, *, stride=1,
-                      eps=1e-5) -> ConvBN:
+                      eps=BN_EPS) -> ConvBN:
     """torchvision (conv.weight, bn.{weight,bias,running_mean,running_var})
-    -> inference-mode ConvBN."""
+    -> ConvBN carrying both the folded affine and the raw BN params."""
     import numpy as np
 
-    scale = np.asarray(gamma) / np.sqrt(np.asarray(var) + eps)
-    shift = np.asarray(beta) - np.asarray(mean) * scale
+    # explicit copies: inputs often alias live torch buffers (tensor.numpy()
+    # shares memory, and CPU jnp.asarray can be zero-copy) which BN updates
+    # mutate in place
+    g = np.array(gamma, np.float32)
+    b = np.array(beta, np.float32)
+    m = np.array(mean, np.float32)
+    v = np.array(var, np.float32)
+    scale = g / np.sqrt(v + eps)
+    shift = b - m * scale
     return ConvBN(
         jnp.asarray(np.asarray(conv_w_oihw).transpose(2, 3, 1, 0)),
-        jnp.asarray(scale.astype(np.float32)),
-        jnp.asarray(shift.astype(np.float32)),
-        stride,
+        jnp.asarray(scale), jnp.asarray(shift), stride,
+        gamma=jnp.asarray(g), beta=jnp.asarray(b),
+        mean=jnp.asarray(m), var=jnp.asarray(v),
     )
 
 
