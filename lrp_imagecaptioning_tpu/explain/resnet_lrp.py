@@ -51,7 +51,7 @@ def _conv_ab_vjp(p: ConvBN, x: jax.Array, *, nonneg: bool = False):
             return conv(w_pos, jnp.maximum(xx, 0.0)) + conv(
                 w_neg, jnp.minimum(xx, 0.0))
 
-    z, vjp = jax.vjp(pos_forward, x.astype(jnp.float32))
+    z, vjp = jax.vjp(pos_forward, x)
     return z, vjp
 
 
@@ -71,8 +71,15 @@ def _add_split(x1: jax.Array, x2: jax.Array, r: jax.Array):
 
 
 def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array):
-    """Forward-stash once, return (backward(r_feature) -> r_image, features)."""
-    x = image.astype(jnp.float32)
+    """Forward-stash once, return (backward(r_feature) -> r_image, features).
+
+    Relevance math runs in the image's floating dtype (float32 normally;
+    float64 under x64 for the torch-1.4 oracle parity tests, where fp32
+    forward drift amplified by near-zero LRP denominators would otherwise
+    dominate)."""
+    dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
+             else jnp.float32)
+    x = image.astype(dtype)
 
     # stem
     stem_x = x
@@ -114,7 +121,7 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array):
     features = x
 
     def backward(r: jax.Array) -> jax.Array:
-        r = r.astype(jnp.float32)
+        r = r.astype(dtype)
         for rec in reversed(block_recs):
             p = rec["p"]
             r_b3, r_idn = _add_split(rec["b3"], rec["idn"], r)  # relu identity

@@ -264,36 +264,39 @@ def init_resnet(rng: jax.Array, arch: str = "resnet101",
 
 
 def convbn_from_torch(conv_w_oihw, gamma, beta, mean, var, *, stride=1,
-                      eps=BN_EPS) -> ConvBN:
+                      eps=BN_EPS, dtype=None) -> ConvBN:
     """torchvision (conv.weight, bn.{weight,bias,running_mean,running_var})
-    -> ConvBN carrying both the folded affine and the raw BN params."""
+    -> ConvBN carrying both the folded affine and the raw BN params.
+    ``dtype`` defaults to float32; float64 is used by the parity tests."""
     import numpy as np
 
+    dtype = np.float32 if dtype is None else np.dtype(dtype)
     # explicit copies: inputs often alias live torch buffers (tensor.numpy()
     # shares memory, and CPU jnp.asarray can be zero-copy) which BN updates
     # mutate in place
-    g = np.array(gamma, np.float32)
-    b = np.array(beta, np.float32)
-    m = np.array(mean, np.float32)
-    v = np.array(var, np.float32)
+    g = np.array(gamma, dtype)
+    b = np.array(beta, dtype)
+    m = np.array(mean, dtype)
+    v = np.array(var, dtype)
     scale = g / np.sqrt(v + eps)
     shift = b - m * scale
     return ConvBN(
-        jnp.asarray(np.asarray(conv_w_oihw).transpose(2, 3, 1, 0)),
+        jnp.asarray(np.asarray(conv_w_oihw).transpose(2, 3, 1, 0), dtype),
         jnp.asarray(scale), jnp.asarray(shift), stride,
         gamma=jnp.asarray(g), beta=jnp.asarray(b),
         mean=jnp.asarray(m), var=jnp.asarray(v),
     )
 
 
-def load_torch_resnet_state(state_dict: dict, arch: str = "resnet101") -> ResNetParams:
+def load_torch_resnet_state(state_dict: dict, arch: str = "resnet101",
+                            dtype=None) -> ResNetParams:
     """Convert a torchvision resnet state_dict to ResNetParams."""
     def cbn(prefix_conv, prefix_bn, stride=1):
         return convbn_from_torch(
             state_dict[f"{prefix_conv}.weight"],
             state_dict[f"{prefix_bn}.weight"], state_dict[f"{prefix_bn}.bias"],
             state_dict[f"{prefix_bn}.running_mean"],
-            state_dict[f"{prefix_bn}.running_var"], stride=stride,
+            state_dict[f"{prefix_bn}.running_var"], stride=stride, dtype=dtype,
         )
 
     blocks = RESNET_LAYERS[arch]

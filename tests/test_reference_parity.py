@@ -418,12 +418,16 @@ def test_aoa_lrp_parity_with_reference(reference):
     T = explainer.caption_length
     head = 1
     ts = list(range(min(T, 2)))
-    ref_feat, ref_words_l = [], []
+    ref_feat, ref_words_l, ref_pix = [], [], []
+    from LRPtools import lrp_wrapper
+
+    lrp_wrapper.add_lrp(model.img_encoder.encoder)
     for t in ts:
         with torch.no_grad():
             r_feat, r_words = explainer.explain_caption_wordt(t, head)
         ref_feat.append(r_feat.detach().numpy())
         ref_words_l.append(r_words.detach().numpy())
+        ref_pix.append(explainer.explain_cnn(r_feat).detach().numpy())
 
     import jax.numpy as jnp
 
@@ -455,6 +459,9 @@ def test_aoa_lrp_parity_with_reference(reference):
         np.asarray(stash.predictions), explainer.predictions.numpy()[:T],
         rtol=1e-4, atol=1e-4,
     )
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import make_vgg_lrp_backward
+
+    backward, _ = make_vgg_lrp_backward(enc, img_nhwc)
     for i, t in enumerate(ts):
         target = int(explainer.beam_caption_encode[t + 1])
         we = aoa_explain_word(dec, feats, stash, jnp.asarray(t),
@@ -467,6 +474,13 @@ def test_aoa_lrp_parity_with_reference(reference):
         np.testing.assert_allclose(np.asarray(we.r_words)[: t + 1],
                                    ref_words_l[i][: t + 1],
                                    rtol=1e-3, atol=1e-4)
+        # pixel-level: through the hook-based reference CNN LRP
+        got_pix = np.asarray(backward(jnp.asarray(got)[None]))[0]
+        want_pix = ref_pix[i][0].transpose(1, 2, 0)
+        mae_pix = np.abs(got_pix - want_pix).mean()
+        denom = np.abs(want_pix).mean() + 1e-12
+        assert mae_pix <= 1e-4 or mae_pix / denom <= 1e-3, (
+            f"t={t} AoA pixel MAE {mae_pix} (rel {mae_pix / denom})")
 
 
 @pytest.mark.slow
@@ -698,6 +712,109 @@ def test_resnet_cnn_lrp_parity_with_reference(reference):
 
 
 @pytest.mark.slow
+def test_resnet_cnn_lrp_parity_torch14_oracle(reference):
+    """Tight (MAE <= 1e-4) ResNet LRP parity against a torch-1.4-faithful
+    oracle.
+
+    Modern torch's non-full ``register_backward_hook`` fires at an inner
+    autograd node for BatchNorm, so running the reference's hook machinery
+    directly drifts ~1% (see test_resnet_cnn_lrp_parity_with_reference).
+    Under the reference's pinned torch 1.4 the hook replaced the WHOLE
+    module's gradient — semantics reproduced here by invoking the reference's
+    own rule classes (LRPtools/lrp_modules.py) module-by-module in reverse
+    execution order, with residual relevances summing at the split exactly as
+    autograd accumulated them (lrp_wrapper.py:42-56).
+
+    Runs in float64 on BOTH sides: the walk divides by near-zero stabilized
+    denominators (Add outputs down to ~5e-3 vs EPSILON=0.01), so fp32
+    torch-vs-XLA conv drift is amplified ~1e3x and would swamp a tight
+    assert; f64 isolates the semantics, which is what this test pins."""
+    _ = reference
+    import models.resnet as ref_resnet
+    from LRPtools import lrp_modules, lrp_wrapper
+
+    torch.manual_seed(5)
+    model = ref_resnet.resnet50(pretrained=False)
+    model.double()
+    model.eval()
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(1, 3, 64, 64))
+    seed_r = rng.normal(size=(1, 2048, 2, 2))
+
+    # forward with the reference's own save_input_hook to stash module.input
+    lrp_wrapper.add_lrp(model)
+    with torch.no_grad():
+        _ = model(torch.tensor(img))
+
+    params_ab = {"alpha": 1.0, "beta": 0.0, "ignore_bias": True}
+
+    def rule(module, R, method):
+        lrp_mod = lrp_modules.get_lrp_module(module)
+        inp = module.input[0]
+        if isinstance(module, torch.nn.Conv2d):
+            stub = (torch.zeros_like(inp), torch.zeros_like(module.weight),
+                    None if module.bias is None
+                    else torch.zeros_like(module.bias))
+        elif isinstance(module, torch.nn.BatchNorm2d):
+            stub = (torch.zeros_like(inp), torch.zeros_like(module.weight),
+                    torch.zeros_like(module.bias))
+        else:
+            stub = (torch.zeros_like(inp),)
+        out = lrp_mod.propagate_relevance(module, stub, (R,), method,
+                                          lrp_params=params_ab)
+        return out[0]
+
+    def walk_block(block, R):
+        # trailing relu: identity rule. Add splits relevance across paths.
+        add_mod = lrp_modules.get_lrp_module(block.add)
+        R1, R2 = add_mod.propagate_relevance(
+            block.add, None, (R,), "alpha_beta", lrp_params=params_ab)
+        R1 = rule(block.bn3, R1, "epsilon")
+        R1 = rule(block.conv3, R1, "alpha_beta")
+        R1 = rule(block.bn2, R1, "epsilon")
+        R1 = rule(block.conv2, R1, "alpha_beta")
+        R1 = rule(block.bn1, R1, "epsilon")
+        R1 = rule(block.conv1, R1, "alpha_beta")
+        if block.downsample is not None:
+            R2 = rule(block.downsample[1], R2, "epsilon")
+            R2 = rule(block.downsample[0], R2, "alpha_beta")
+        # autograd accumulates the two relevances at the split tensor
+        return R1 + R2
+
+    with torch.no_grad():
+        R = torch.tensor(seed_r)
+        for layer in [model.layer4, model.layer3, model.layer2, model.layer1]:
+            for block in reversed(list(layer)):
+                R = walk_block(block, R)
+        R = rule(model.maxpool, R, "alpha_beta")
+        R = rule(model.bn1, R, "epsilon")
+        want = rule(model.conv1, R, "alpha_beta").numpy()
+
+    import jax
+
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.explain.resnet_lrp import (
+        make_resnet_lrp_backward,
+    )
+    from lrp_imagecaptioning_tpu.models.resnet import load_torch_resnet_state
+
+    sd = {k: v.detach().numpy().copy() for k, v in model.state_dict().items()}
+    jax.config.update("jax_enable_x64", True)
+    try:
+        params = load_torch_resnet_state(sd, "resnet50", dtype=np.float64)
+        backward, _ = make_resnet_lrp_backward(
+            params, jnp.asarray(img.transpose(0, 2, 3, 1), jnp.float64))
+        got = np.asarray(backward(
+            jnp.asarray(seed_r.transpose(0, 2, 3, 1), jnp.float64)))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    got = got.transpose(0, 3, 1, 2)
+    mae = np.abs(got - want).mean()
+    assert mae <= 1e-4, (mae, np.abs(want).mean())
+
+
+@pytest.mark.slow
 def test_adaptive_lrp_parity_with_reference(reference):
     _ = reference
     import models.adaptiveattention as ref_ada
@@ -734,12 +851,16 @@ def test_adaptive_lrp_parity_with_reference(reference):
         explainer.get_hidden_parameters("fake.jpg")
     T = explainer.caption_length
     ts = list(range(min(T, 2)))
-    ref_feat, ref_words_l = [], []
+    ref_feat, ref_words_l, ref_pix = [], [], []
+    from LRPtools import lrp_wrapper
+
+    lrp_wrapper.add_lrp(model.img_encoder.encoder)
     for t in ts:
         with torch.no_grad():
             r_feat, r_words = explainer.explain_caption_wordt(t)
         ref_feat.append(r_feat.detach().numpy())
         ref_words_l.append(r_words.detach().numpy())
+        ref_pix.append(explainer.explain_cnn(r_feat).detach().numpy())
 
     import jax.numpy as jnp
 
@@ -769,6 +890,9 @@ def test_adaptive_lrp_parity_with_reference(reference):
         np.asarray(stash.predictions), explainer.predictions.numpy()[:T],
         rtol=1e-4, atol=1e-4,
     )
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import make_vgg_lrp_backward
+
+    backward, _ = make_vgg_lrp_backward(enc, img_nhwc)
     for i, t in enumerate(ts):
         target = int(explainer.beam_caption_encode[t + 1])
         we = ada_explain_word(dec, feats, stash, jnp.asarray(t),
@@ -780,3 +904,10 @@ def test_adaptive_lrp_parity_with_reference(reference):
         np.testing.assert_allclose(np.asarray(we.r_words)[: t + 1],
                                    ref_words_l[i][: t + 1],
                                    rtol=1e-3, atol=1e-4)
+        # pixel-level: through the hook-based reference CNN LRP
+        got_pix = np.asarray(backward(jnp.asarray(got)[None]))[0]
+        want_pix = ref_pix[i][0].transpose(1, 2, 0)
+        mae_pix = np.abs(got_pix - want_pix).mean()
+        denom = np.abs(want_pix).mean() + 1e-12
+        assert mae_pix <= 1e-4 or mae_pix / denom <= 1e-3, (
+            f"t={t} adaptive pixel MAE {mae_pix} (rel {mae_pix / denom})")
