@@ -28,19 +28,95 @@ NMS_SWEEP = (0.5, 0.6, 0.7, 0.8, 0.9)
 Detector = Callable[[str, float], tuple[np.ndarray, np.ndarray]]
 
 
-def build_detectron2_detector(config_path: str, weights_path: str) -> Detector:
+def build_detectron2_detector(
+    config_path: str,
+    weights_path: str,
+    *,
+    score_thresh: float = 0.2,
+    num_regions: int = NUM_REGIONS,
+) -> Detector:
+    """Build the VG-pretrained Faster-RCNN region detector.
+
+    Mirrors the reference's predictor construction (config merge +
+    RPN.POST_NMS_TOPK_TEST=300, SCORE_THRESH_TEST=0.2, VG caffe weights,
+    extract_bu_features.py:24-66) and its manual RoI pipeline (backbone ->
+    RPN proposals -> shared RoI transform -> pooled 2048-d features ->
+    FastRCNNOutputs -> per-call fast_rcnn_inference_single_image,
+    extract_bu_features.py:84-141).  The per-call ``nms_threshold`` is what
+    :func:`extract_single` sweeps 0.5 -> 0.9.
+    """
     try:
-        import detectron2  # noqa: F401
+        import cv2
+        import torch
+        from detectron2.config import get_cfg
+        from detectron2.engine import DefaultPredictor
+        from detectron2.modeling.postprocessing import detector_postprocess
+        from detectron2.modeling.roi_heads.fast_rcnn import (
+            FastRCNNOutputs,
+            fast_rcnn_inference_single_image,
+        )
     except ImportError as e:
         raise ImportError(
-            "bottom-up feature extraction needs detectron2 with VG-pretrained "
-            "Faster-RCNN weights (reference extract_bu_features.py:1-23); "
-            "install it or pass a custom detector callable to "
-            "create_bu_features."
+            "bottom-up feature extraction needs detectron2 (+cv2) with "
+            "VG-pretrained Faster-RCNN weights (reference "
+            "extract_bu_features.py:1-23); install it or pass a custom "
+            "detector callable to create_bu_features."
         ) from e
-    raise NotImplementedError(
-        "wire detectron2 config here (reference extract_bu_features.py:24-66)"
-    )
+
+    cfg = get_cfg()
+    cfg.merge_from_file(config_path)
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 300
+    cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.6
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = score_thresh
+    cfg.MODEL.WEIGHTS = weights_path
+    predictor = DefaultPredictor(cfg)
+
+    def detect(image_path: str, nms_threshold: float):
+        raw_image = cv2.imread(image_path)
+        with torch.no_grad():
+            raw_height, raw_width = raw_image.shape[:2]
+            image = predictor.transform_gen.get_transform(
+                raw_image).apply_image(raw_image)
+            image = torch.as_tensor(
+                image.astype("float32").transpose(2, 0, 1))
+            inputs = [{"image": image, "height": raw_height,
+                       "width": raw_width}]
+            images = predictor.model.preprocess_image(inputs)
+            features = predictor.model.backbone(images.tensor)
+            proposals, _ = predictor.model.proposal_generator(
+                images, features, None)
+            proposal_boxes = [x.proposal_boxes for x in proposals]
+            feats = [features[f]
+                     for f in predictor.model.roi_heads.in_features]
+            box_features = predictor.model.roi_heads._shared_roi_transform(
+                feats, proposal_boxes)
+            feature_pooled = box_features.mean(dim=[2, 3])
+            predicted = predictor.model.roi_heads.box_predictor(
+                feature_pooled)
+            if len(predicted) == 3:  # VG head adds attribute logits
+                pred_class_logits, _, pred_proposal_deltas = predicted
+            else:
+                pred_class_logits, pred_proposal_deltas = predicted
+            outputs = FastRCNNOutputs(
+                predictor.model.roi_heads.box2box_transform,
+                pred_class_logits,
+                pred_proposal_deltas,
+                proposals,
+                predictor.model.roi_heads.smooth_l1_beta,
+            )
+            probs = outputs.predict_probs()[0]
+            boxes = outputs.predict_boxes()[0]
+            instances, ids = fast_rcnn_inference_single_image(
+                boxes, probs, image.shape[1:],
+                score_thresh=score_thresh, nms_thresh=nms_threshold,
+                topk_per_image=num_regions,
+            )
+            instances = detector_postprocess(instances, raw_height, raw_width)
+            roi_features = feature_pooled[ids].detach().cpu().numpy()
+            out_boxes = instances.pred_boxes.tensor.detach().cpu().numpy()
+        return roi_features, out_boxes
+
+    return detect
 
 
 def extract_single(
