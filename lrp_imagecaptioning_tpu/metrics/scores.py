@@ -5,9 +5,10 @@
 no Java subprocess) and returns ``{name: value}``.  BLEU expands to
 ``bleu_1..bleu_4`` like the reference adapter (metrics.py:33-48).
 
-SPICE requires scene-graph parsing (Java, reference vendored a jar); we degrade
-to 0.0 with a warning exactly like the reference's METEOR fallback
-(metrics.py:62-67).  BERT uses ``bert_score`` if installed, else 0.0.
+SPICE runs the real jar subprocess when java + ``spice-*.jar``/$SPICE_JAR are
+present (pycocoevalcap/spice/spice.py), degrading to 0.0 with a warning like
+the reference's METEOR fallback (metrics.py:62-67) otherwise.  BERT uses
+``bert_score`` if installed, else 0.0.
 """
 
 from __future__ import annotations
@@ -89,12 +90,21 @@ class METEOR(Score):
 
 
 class SPICE(Score):
+    """Real SPICE when java + the jar are present (pycocoevalcap/spice/
+    spice.py:11,30-96), else warn + 0.0 like the reference's METEOR fallback
+    (metrics.py:62-67)."""
+
     def __init__(self):
         super().__init__("spice")
 
     def _compute(self, hyps, refs):
+        from .spice import spice_available, spice_score
+
+        if spice_available():
+            avg, _ = spice_score(hyps, refs)
+            return float(avg)
         warnings.warn(
-            "SPICE needs Java scene-graph parsing; returning 0.0 "
+            "SPICE needs java + spice-*.jar ($SPICE_JAR); returning 0.0 "
             "(same graceful degradation as the reference METEOR fallback)."
         )
         return 0.0
