@@ -136,6 +136,13 @@ def main():
         "value": round(per_sec, 3),
         "unit": "images/s",
         "vs_baseline": round(per_sec / target_per_chip, 3),
+        # normalization: every image is explained at a FIXED max_words word
+        # count (the fixed-shape program does identical work regardless of
+        # where beam decode emits <end>); the reference explains up to the
+        # decoded caption length, so divide by max_words for a per-word rate.
+        "words_explained_per_image": max_words,
+        "weights": "random (no reference checkpoint is downloadable in this "
+                   "environment); throughput is shape-bound, not value-bound",
     }))
 
 
