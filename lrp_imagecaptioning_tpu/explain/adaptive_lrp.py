@@ -34,7 +34,12 @@ from ..models.adaptive import AdaptiveParams
 from ..models.core import adaptive_attention, linear
 from ..models.gridtd import Features
 from .gridtd_lrp import WordExplanation
-from .rules import lrp_elem_eps, lrp_linear_eps, stabilize
+from .rules import (
+    lrp_elem_eps,
+    lrp_linear_eps,
+    lrp_linear_eps_onehot,
+    stabilize,
+)
 
 
 class AdaptiveStash(NamedTuple):
@@ -117,9 +122,10 @@ def explain_word(
     fc_w = p.fc.weight.astype(jnp.float32)
 
     preds_t = stash.predictions[t]
-    word_rel = jnp.zeros_like(preds_t).at[target].set(preds_t[target])
     mix = stash.h[t + 1] + stash.context_hat[t]
-    r_mix = lrp_linear_eps(word_rel, mix, preds_t, fc_w)
+    # one-hot fc seed in closed form (adaptiveattention.py:679-690) — exact
+    r_mix = lrp_linear_eps_onehot(
+        preds_t[target], mix, preds_t[target], fc_w[target])
     seed_h = lrp_elem_eps(r_mix, stash.h[t + 1], mix)
     r_ctx_hat = lrp_elem_eps(r_mix, stash.context_hat[t], mix)
     r_context = lrp_elem_eps(

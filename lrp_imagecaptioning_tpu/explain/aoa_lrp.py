@@ -28,7 +28,12 @@ import jax.numpy as jnp
 
 from ..models.aoa import AOAFeatures, AOAParams, multi_head_attention
 from ..models.core import linear
-from .rules import lrp_elem_eps, lrp_linear_eps, stabilize
+from .rules import (
+    lrp_elem_eps,
+    lrp_linear_eps,
+    lrp_linear_eps_onehot,
+    stabilize,
+)
 
 
 class AOAStash(NamedTuple):
@@ -166,9 +171,10 @@ def explain_word(
 
     # seeds (aoamodel.py:1092-1111)
     preds_t = stash.predictions[t]
-    word_rel = jnp.zeros_like(preds_t).at[target].set(preds_t[target])
     mix = stash.h[t + 1] + stash.context_aoa[t]
-    r_mix = lrp_linear_eps(word_rel, mix, preds_t, fc_w)
+    # one-hot fc seed in closed form (aoamodel.py:1092-1097) — exact
+    r_mix = lrp_linear_eps_onehot(
+        preds_t[target], mix, preds_t[target], fc_w[target])
     seed_h = lrp_elem_eps(r_mix, stash.h[t + 1], mix)
     r_ctx_aoa = lrp_elem_eps(r_mix, stash.context_aoa[t], mix)
     r_context = lrp_linear_eps(

@@ -35,7 +35,12 @@ import jax.numpy as jnp
 
 from ..models.core import linear
 from ..models.gridtd import Features, GridTDParams
-from .rules import lrp_elem_eps, lrp_linear_eps, stabilize
+from .rules import (
+    lrp_elem_eps,
+    lrp_linear_eps,
+    lrp_linear_eps_onehot,
+    stabilize,
+)
 
 
 class GridTDStash(NamedTuple):
@@ -185,9 +190,10 @@ def explain_word(
     # ---- seeds at step t (gridTDmodel.py:1033-1059) ----------------------
     preds_t = stash.predictions[t]
     tgt = jnp.argmax(preds_t) if target is None else target
-    word_rel = jnp.zeros_like(preds_t).at[tgt].set(preds_t[tgt])
     mix_t = stash.h2[t + 1] + stash.context_hat[t]
-    r_mix = lrp_linear_eps(word_rel, mix_t, preds_t, fc_w)
+    # one-hot fc seed (R[word] = logit, gridTDmodel.py:1033-1034) in closed
+    # form — skips the padded_vocab x hidden matmul, exactly
+    r_mix = lrp_linear_eps_onehot(preds_t[tgt], mix_t, preds_t[tgt], fc_w[tgt])
     seed_h2 = lrp_elem_eps(r_mix, stash.h2[t + 1], mix_t)
     seed_ctx_hat = lrp_elem_eps(r_mix, stash.context_hat[t], mix_t)
 

@@ -8,6 +8,7 @@ from ..ops.relevance import (  # noqa: F401
     Z_EPSILON,
     lrp_elem_eps,
     lrp_linear_eps,
+    lrp_linear_eps_onehot,
     normalize_relevance,
     safe_divide,
     stabilize,

@@ -30,7 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.vocab import WordMap
-from ..ops.relevance import lrp_elem_eps, lrp_linear_eps, normalize_relevance
+from ..ops.relevance import (
+    lrp_elem_eps,
+    lrp_linear_eps,
+    lrp_linear_eps_onehot,
+    normalize_relevance,
+)
 from .core import linear, lstm_step, adaptive_lstm_step, adaptive_attention
 from .gridtd import Features, GridTDParams, GridTDState, init_state
 
@@ -77,13 +82,13 @@ def _weight_split(
     logits = logits.astype(jnp.float32)
     labels = jnp.argmax(logits, axis=-1)  # (B,)
     is_stop = jnp.asarray(stop_mask)[labels]  # (B,)
-    peak = jnp.take_along_axis(logits, labels[:, None], axis=-1)  # (B, 1)
-    word_rel = jnp.where(
-        jnp.arange(logits.shape[-1])[None, :] == labels[:, None], peak, 0.0
-    )
+    peak = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]  # (B,)
     mix = (h_part + ctx_part).astype(jnp.float32)
     fc_w = fc_weight.astype(jnp.float32)
-    r_mix = lrp_linear_eps(word_rel, mix, logits, fc_w)  # (B, H)
+    # one-hot fc seed (R[predicted] = logit, gridTDmodel.py:563-566) in
+    # closed form — one weight-row gather instead of the (B, V) @ (V, H)
+    # matmul, exactly
+    r_mix = lrp_linear_eps_onehot(peak, mix, peak, fc_w[labels])  # (B, H)
     r_h = lrp_elem_eps(r_mix, h_part.astype(jnp.float32), mix)
     r_ctx = lrp_elem_eps(r_mix, ctx_part.astype(jnp.float32), mix)
     zero = jnp.zeros_like(r_h)

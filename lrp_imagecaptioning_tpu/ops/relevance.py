@@ -53,6 +53,29 @@ def lrp_linear_eps(
     return x.astype(jnp.float32) * (s @ weight.astype(jnp.float32))
 
 
+def lrp_linear_eps_onehot(
+    r_val: jax.Array,  # (...,) relevance at the single hot row
+    x: jax.Array,  # (..., in)
+    z_target: jax.Array,  # (...,) pre-activation of the hot row
+    w_row: jax.Array,  # (..., in) the hot row of the weight
+    eps: float = EPSILON,
+) -> jax.Array:
+    """Closed form of :func:`lrp_linear_eps` for a ONE-HOT output relevance
+    (the fc seed of every explanation walk, gridTDmodel.py:1033-1034, and the
+    LRP-weight step, gridTDmodel.py:549-578).
+
+    Exact: the zero rows of ``s = R/stab(z)`` are exactly 0 and contribute
+    ``0 @ W = 0``, so only the hot row survives — O(in) instead of the
+    O(out*in) vocab-width matmul (padded_vocab x hidden = 9728 x 512 at the
+    flagship scale)."""
+    s = r_val.astype(jnp.float32) / stabilize(
+        jnp.asarray(z_target, jnp.float32), eps)
+    x = x.astype(jnp.float32)
+    if jnp.ndim(s) < jnp.ndim(x):
+        s = s[..., None]
+    return x * (s * w_row.astype(jnp.float32))
+
+
 def lrp_elem_eps(
     r_out: jax.Array, contrib: jax.Array, z: jax.Array, eps: float = EPSILON
 ) -> jax.Array:
