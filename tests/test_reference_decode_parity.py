@@ -230,6 +230,99 @@ def test_beam_search_parity(reference, family):
             f"{family} seed={seed}: beam tokens {got_idx} != {list(ref_idx)}")
 
 
+def _build_ref_bu(reference, family, seed):
+    torch.manual_seed(seed)
+    wm = _word_map()
+    vocab = len(wm)
+    if family == "gridtd_bu":
+        model = reference.gridtd.GridTDModelBU(E, H, vocab, "bu")
+    else:
+        model = reference.aoa.AOAModelBU(E, H, NH, vocab, "bu")
+    model.eval()
+    return model, wm
+
+
+def _convert_bu(family, model):
+    from lrp_imagecaptioning_tpu.config import ModelConfig
+    from lrp_imagecaptioning_tpu.models.captioner import (
+        Captioner,
+        CaptionerParams,
+    )
+    from lrp_imagecaptioning_tpu.models.torch_weights import (
+        convert_aoa,
+        convert_gridtd,
+    )
+
+    cfg = ModelConfig(model_type=family, encoder="bu", embed_dim=E,
+                      hidden_dim=H, num_head=NH, vocab_size=model.vocab_size,
+                      num_pixels=36)
+    sd = model.state_dict()
+    conv = convert_gridtd if family.startswith("gridtd") else convert_aoa
+    return Captioner(cfg), CaptionerParams(None, conv(sd, cfg))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("family", ["gridtd_bu", "aoa_bu"])
+def test_bu_forward_greedy_beam_parity(reference, family):
+    """Bottom-up variants (GridTDModelBU gridTDmodel.py:1863, AOAModelBU
+    aoamodel.py:1779): teacher-forced logits MAE <= 1e-4, token-exact greedy
+    and beam captions on 36x2048 region features, 3 seeds."""
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.data.vocab import WordMap
+
+    mod = reference.gridtd if family.startswith("gridtd") else reference.aoa
+    for seed in range(3):
+        model, wm = _build_ref_bu(reference, family, seed + 30)
+        cap, params = _convert_bu(family, model)
+        wmap = WordMap(wm)
+        rng = np.random.default_rng(seed + 30)
+        feats_np = rng.normal(size=(2, 36, 2048)).astype(np.float32)
+
+        word_ids = rng.integers(1, VOCAB_WORDS + 1, size=(2, 4))
+        caps_np = np.zeros((2, 7), np.int64)
+        caps_np[:, 0] = wm["<start>"]
+        caps_np[:, 1:5] = word_ids
+        caps_np[:, 5] = wm["<end>"]
+        caplens = [6, 6]
+        with torch.no_grad():
+            ref_out = model(torch.tensor(feats_np), torch.tensor(caps_np),
+                            caplens, None)
+        feats = cap.encode(params, jnp.asarray(feats_np))
+        logits, _, _ = cap.forward(params, feats,
+                                   jnp.asarray(caps_np, jnp.int32),
+                                   num_steps=5, train=False)
+        mae = np.abs(np.asarray(logits) - ref_out[0].numpy()).mean()
+        assert mae <= 1e-4, f"{family} seed={seed} forward MAE {mae}"
+
+        with torch.no_grad():
+            _, ref_seqs = model.greedy_search(torch.tensor(feats_np), wm,
+                                              max_cap_length=20)
+        res = cap.greedy(params, feats, wmap, max_cap_length=20)
+        got_tokens = np.asarray(res.tokens)
+        for b in range(2):
+            got = [int(t) for t in got_tokens[b]]
+            if family == "aoa_bu":  # same last-item-only return quirk
+                if b == 1:
+                    assert _strip(got, wm) == [int(i) for i in ref_seqs]
+            else:
+                assert got == list(ref_seqs[b][1:]), f"{family} seed={seed}"
+
+        # beam (gridTD-BU uses `/` -> rewrite; AoA-BU uses `//` natively,
+        # aoamodel.py:2101)
+        if family == "gridtd_bu":
+            _rewrite_floor_div(model, mod, "beam_search")
+        f1 = feats_np[:1]
+        with torch.no_grad():
+            _, ref_idx = model.beam_search(torch.tensor(f1), wm,
+                                           beam_size=3, max_cap_length=20)
+        feats1 = cap.encode(params, jnp.asarray(f1))
+        bres = cap.beam_search_single(params, feats1, wmap, beam_size=3,
+                                      max_cap_length=20)
+        got_idx = _strip(np.asarray(bres.tokens)[: int(bres.length)], wm)
+        assert got_idx == [int(i) for i in ref_idx], f"{family} seed={seed}"
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("family", ["gridtd", "aoa", "adaptive"])
 def test_diverse_beam_search_parity(reference, family):
