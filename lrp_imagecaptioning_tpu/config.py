@@ -72,6 +72,11 @@ class TrainConfig:
     # SCST reward weights (train.py:193)
     cider_reward_weight: float = 1.0
     bleu_reward_weight: float = 0.0
+    # Beyond-reference: mix a teacher-forced CE anchor into the SCST loss
+    # (loss = reward_criterion + w * CE on the ground-truth caption).  Pure
+    # SCST collapses once the greedy baseline saturates (docs/QUALITY.md);
+    # 0.0 (default) reproduces the reference exactly (train.py:182-210).
+    scst_ce_weight: float = 0.0
     max_caption_len: int = 52  # <start> + max_len(50) + <end>
     print_freq: int = 500
     seed: int = 0

@@ -219,9 +219,13 @@ class Trainer:
         )
         return greedy.tokens, sampled.tokens
 
-    def scst_update(self, state: TrainState, images, sampled, reward):
+    def scst_update(self, state: TrainState, images, sampled, reward,
+                    captions=None):
         """Policy-gradient update: teacher-force the sampled sequence to
-        recover its logprobs with gradients attached."""
+        recover its logprobs with gradients attached.  With
+        ``scst_ce_weight > 0`` a teacher-forced CE anchor on the ground-truth
+        caption is mixed in (beyond-reference collapse guard,
+        docs/QUALITY.md)."""
 
         def loss_fn(params):
             feats, bn_stats = self._train_encode(params, images)
@@ -233,7 +237,15 @@ class Trainer:
             )
             logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
             lp = jnp.take_along_axis(logprobs, sampled[..., None], -1)[..., 0]
-            return reward_criterion(lp, sampled, reward), bn_stats
+            loss = reward_criterion(lp, sampled, reward)
+            if self.tcfg.scst_ce_weight > 0.0 and captions is not None:
+                ce_logits, _, _ = self.captioner.forward(
+                    params, feats, captions,
+                    num_steps=captions.shape[1] - 1, train=True,
+                )
+                loss = loss + self.tcfg.scst_ce_weight * cross_entropy_loss(
+                    ce_logits, captions[:, 1:], self.pad_id)
+            return loss, bn_stats
 
         (loss, bn_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -257,7 +269,10 @@ class Trainer:
             bleu_reward_weight=self.tcfg.bleu_reward_weight,
         )
         upd = self._jit("scst_update", self.scst_update)
-        state, loss = upd(state, images, sampled_toks, jnp.asarray(reward))
+        caps = (jnp.asarray(batch.captions)
+                if self.tcfg.scst_ce_weight > 0.0 else None)
+        state, loss = upd(state, images, sampled_toks, jnp.asarray(reward),
+                          caps)
         return state, float(loss), float(reward[:, 0].mean())
 
     # -- LRP-inference fine-tuning modes --------------------------------

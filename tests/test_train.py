@@ -102,6 +102,26 @@ def test_scst_step_runs(toy, eight_devices):
     )
 
 
+def test_scst_ce_anchor(toy):
+    """Beyond-reference: scst_ce_weight mixes a teacher-forced CE term into
+    the SCST loss (collapse guard, docs/QUALITY.md). Weight 0 must reproduce
+    the reference loss exactly."""
+    train_ds, _, wm = toy
+    batch = next(train_ds.train_batches(8, shuffle=False))
+    losses = {}
+    for w in (0.0, 1.0):
+        exp = make_exp(wm, cider_tune=True, scst_ce_weight=w)
+        trainer = Trainer(exp, wm)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        _, loss, _ = trainer.scst_batch(
+            state, batch, jax.random.PRNGKey(5), num_steps=9
+        )
+        losses[w] = loss
+    assert np.isfinite(losses[0.0]) and np.isfinite(losses[1.0])
+    # the CE anchor is positive at init, so the mixed loss is strictly larger
+    assert losses[1.0] > losses[0.0]
+
+
 def test_lr_plateau_decay(toy):
     _, _, wm = toy
     trainer = Trainer(make_exp(wm), wm)
