@@ -219,12 +219,17 @@ class Captioner:
         features for the BU path."""
         if self.cfg.is_bu:
             return self.family.encode(params.decoder, visual, None)
+        # compute_dtype lowers the CNN forward precision (bfloat16 on TPU);
+        # float32 (default) is a no-op.  Relevance stashes are always f32.
+        dt = (None if self.cfg.compute_dtype == "float32"
+              else self.cfg.compute_dtype)
         if self.cfg.encoder.startswith("resnet"):
             from .resnet import encode_image_grid_resnet
 
-            raw, avg = encode_image_grid_resnet(params.encoder, visual)
+            raw, avg = encode_image_grid_resnet(params.encoder, visual,
+                                                dtype=dt)
         else:
-            raw, avg = encode_image_grid(params.encoder, visual)
+            raw, avg = encode_image_grid(params.encoder, visual, dtype=dt)
         if stop_encoder_gradient:  # frozen CNN (train.py:102-104)
             raw = jax.lax.stop_gradient(raw)
             avg = jax.lax.stop_gradient(avg)

@@ -129,16 +129,25 @@ def vgg_forward(
 
 
 def encode_image_grid(
-    params: VGGParams, images: jax.Array
+    params: VGGParams, images: jax.Array, *, dtype=None
 ) -> tuple[jax.Array, jax.Array]:
     """images (B, H, W, 3) -> (grid (B, P, C), avg (B, C)).
 
     Mirrors reference Encoder.forward (gridTDmodel.py:40-43): conv stack then
     adaptive average pool to the global feature.  Pixel order matches the
-    reference's ``view(B, C, H*W)`` row-major flattening."""
-    fm = vgg_forward(params, images)  # (B, h, w, C)
+    reference's ``view(B, C, H*W)`` row-major flattening.
+
+    ``dtype`` (ModelConfig.compute_dtype) runs the conv stack in a lower
+    precision — bfloat16 keeps the MXU at full rate for the training forward;
+    outputs are returned in float32 either way.  Relevance/LRP paths never
+    use this (they build their own float32 stash, SURVEY.md §7)."""
+    x = images
+    if dtype is not None and jnp.dtype(dtype) != x.dtype:
+        x = x.astype(dtype)
+        params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
+    fm = vgg_forward(params, x)  # (B, h, w, C)
     b, h, w, c = fm.shape
-    grid = fm.reshape(b, h * w, c)
+    grid = fm.reshape(b, h * w, c).astype(jnp.float32)
     avg = grid.mean(axis=1)
     return grid, avg
 

@@ -202,12 +202,20 @@ def resnet_forward_train(
 
 
 def encode_image_grid_resnet(
-    params: ResNetParams, images: jax.Array
+    params: ResNetParams, images: jax.Array, *, dtype=None
 ) -> tuple[jax.Array, jax.Array]:
-    """images (B, H, W, 3) -> (grid (B, P, 2048), avg (B, 2048))."""
-    fm = resnet_forward(params, images)
+    """images (B, H, W, 3) -> (grid (B, P, 2048), avg (B, 2048)).
+
+    ``dtype`` (ModelConfig.compute_dtype) lowers the conv-stack precision
+    (bfloat16 for the MXU-rate training forward); outputs return float32.
+    LRP/relevance paths build their own float32 stash and ignore this."""
+    x = images
+    if dtype is not None and jnp.dtype(dtype) != x.dtype:
+        x = x.astype(dtype)
+        params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
+    fm = resnet_forward(params, x)
     b, h, w, c = fm.shape
-    grid = fm.reshape(b, h * w, c)
+    grid = fm.reshape(b, h * w, c).astype(jnp.float32)
     return grid, grid.mean(axis=1)
 
 
