@@ -387,10 +387,15 @@ class Trainer:
         return state, losses.avg, rng
 
     def train_epoch_scst(self, state: TrainState, ds: CaptionDataset, epoch: int,
-                         rng: jax.Array, *, use_lrp: bool = False):
+                         rng: jax.Array, *, use_lrp: bool = False,
+                         mid_epoch_checkpoints: bool | None = None):
         losses, rewards = AverageMeter(), AverageMeter()
         num_steps = self.tcfg.max_caption_len - 1
         step_fn = self.lrp_scst_batch if use_lrp else self.scst_batch
+        # the reference's trainciderlrp dumps a mid-epoch checkpoint at every
+        # print boundary (train.py:280-285); same policy, sane location —
+        # opt-in via fit(save_checkpoints=True)
+        mid = bool(mid_epoch_checkpoints)
         for i, batch in enumerate(ds.train_batches(self.tcfg.batch_size)):
             rng, srng = jax.random.split(rng)
             state, loss, rew = step_fn(state, batch, srng, num_steps)
@@ -400,6 +405,13 @@ class Trainer:
                 print(f"Epoch: [{epoch}][{i}] Loss {losses.val:.4f} "
                       f"({losses.avg:.4f}) Reward {rewards.val:.3f} "
                       f"({rewards.avg:.3f})")
+                if mid and self.exp.save_path:
+                    from .checkpoint import save_checkpoint
+
+                    save_checkpoint(
+                        self.tcfg.dataset, f"{epoch}lrpcider_batch{i}", 0,
+                        state, 0.0, 0.0, self.exp.save_path, self.cfg.encoder,
+                    )
         return state, losses.avg, rng
 
     def train_epoch_lrp(self, state: TrainState, ds: CaptionDataset, epoch: int,
@@ -513,7 +525,8 @@ class Trainer:
                                                             epoch, rng)
                 elif mode == "lrp_cider":
                     state, loss, rng = self.train_epoch_scst(
-                        state, train_ds, epoch, rng, use_lrp=True
+                        state, train_ds, epoch, rng, use_lrp=True,
+                        mid_epoch_checkpoints=save_checkpoints,
                     )
                 else:
                     raise NotImplementedError(f"unknown mode {mode}")
