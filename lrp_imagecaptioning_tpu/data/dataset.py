@@ -138,11 +138,15 @@ class CaptionDataset:
             yield CaptionBatch(images, captions, all_caps, caplens)
 
     def train_batches_prefetched(
-        self, batch_size: int, *, prefetch: int = 2, **kw
+        self, batch_size: int, *, prefetch: int = 2, transform=None, **kw
     ) -> Iterator[CaptionBatch]:
         """``train_batches`` with a background decode thread so host image
         decode overlaps device compute (the reference leans on DataLoader
-        workers, train.py:40-44; here one producer thread + a bounded queue)."""
+        workers, train.py:40-44; here one producer thread + a bounded queue).
+
+        ``transform`` runs on each batch INSIDE the producer thread — passing
+        a device_put closure there overlaps the host->device upload with the
+        consumer's step dispatch (double-buffered input pipeline)."""
         import queue
         import threading
 
@@ -153,7 +157,7 @@ class CaptionDataset:
         def producer():
             try:
                 for batch in self.train_batches(batch_size, **kw):
-                    q.put(batch)
+                    q.put(batch if transform is None else transform(batch))
             except BaseException as e:  # noqa: BLE001 - reraised on consumer
                 err.append(e)
             finally:

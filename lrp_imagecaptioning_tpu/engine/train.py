@@ -368,23 +368,51 @@ class Trainer:
                        rng: jax.Array):
         step = self.compiled_xe_step()
         bs = batch_sharding(self.mesh, self.exp.mesh)
-        losses, accs = AverageMeter(), AverageMeter()
-        for i, batch in enumerate(
-                ds.train_batches_prefetched(self.tcfg.batch_size)):
-            rng, srng = jax.random.split(rng)
-            state, loss, acc = step(
-                state,
-                jax.device_put(jnp.asarray(batch.images), bs),
-                jax.device_put(jnp.asarray(batch.captions), bs),
-                srng,
-            )
-            n = float(batch.caption_lengths.sum())
-            losses.update(float(loss), n)
-            accs.update(float(acc), n)
-            if i % self.tcfg.print_freq == 0:
-                print(f"Epoch: [{epoch}][{i}] Loss {losses.val:.4f} "
-                      f"({losses.avg:.4f}) Top-1 {accs.val:.3f} ({accs.avg:.3f})")
-        return state, losses.avg, rng
+        return self._run_teacher_forced_epoch(step, state, ds, epoch, rng, bs)
+
+    def _run_teacher_forced_epoch(self, step, state, ds, epoch, rng, bs):
+        """Shared XE/LRP-XE epoch loop with ZERO per-step host<->device
+        round trips beyond the batch upload itself.
+
+        On the remote-tunnel backend every eager device op — a ``float()``,
+        a ``jax.random.split``, even ``loss * n`` with a fresh Python scalar
+        (which RE-COMPILES a one-op program per step) — costs a full network
+        round trip, ~100x the step's actual compute.  So: rngs for the whole
+        epoch are split in ONE device call up front and passed as host rows,
+        per-step losses are kept as unmaterialized device references, and
+        averages materialize via a single ``jnp.stack`` at print boundaries
+        and at epoch end."""
+        n_steps = max(1, len(ds) // self.tcfg.batch_size)
+        rngs = np.asarray(jax.random.split(rng, n_steps + 1))
+        loss_refs, acc_refs, ns = [], [], []
+
+        def avgs():
+            v = np.asarray(jnp.stack(loss_refs), np.float64)
+            a = np.asarray(jnp.stack(acc_refs), np.float64)
+            w = np.asarray(ns)
+            return float(np.average(v, weights=w)), float(np.average(a, weights=w))
+
+        def upload(batch):
+            # runs in the prefetch thread: host->device upload overlaps the
+            # consumer's step dispatch
+            return (jax.device_put(jnp.asarray(batch.images), bs),
+                    jax.device_put(jnp.asarray(batch.captions), bs),
+                    float(batch.caption_lengths.sum()))
+
+        for i, (images_d, caps_d, n) in enumerate(
+                ds.train_batches_prefetched(self.tcfg.batch_size,
+                                            transform=upload)):
+            state, loss, acc = step(state, images_d, caps_d,
+                                    rngs[min(i, n_steps - 1)])
+            loss_refs.append(loss)
+            acc_refs.append(acc)
+            ns.append(n)
+            if i % self.tcfg.print_freq == 0:  # the only device syncs
+                al, aa = avgs()
+                print(f"Epoch: [{epoch}][{i}] Loss {float(loss):.4f} ({al:.4f}) "
+                      f"Top-1 {float(acc):.3f} ({aa:.3f})")
+        avg = avgs()[0] if loss_refs else 0.0
+        return state, avg, jnp.asarray(rngs[-1])
 
     def train_epoch_scst(self, state: TrainState, ds: CaptionDataset, epoch: int,
                          rng: jax.Array, *, use_lrp: bool = False,
@@ -422,22 +450,7 @@ class Trainer:
             in_shardings=(None, bs, bs, replicated(self.mesh)),
             donate_argnums=(0,),
         )
-        losses, accs = AverageMeter(), AverageMeter()
-        for i, batch in enumerate(ds.train_batches(self.tcfg.batch_size)):
-            rng, srng = jax.random.split(rng)
-            state, loss, acc = step(
-                state,
-                jax.device_put(jnp.asarray(batch.images), bs),
-                jax.device_put(jnp.asarray(batch.captions), bs),
-                srng,
-            )
-            n = float(batch.caption_lengths.sum())
-            losses.update(float(loss), n)
-            accs.update(float(acc), n)
-            if i % self.tcfg.print_freq == 0:
-                print(f"Epoch: [{epoch}][{i}] Loss {losses.val:.4f} "
-                      f"({losses.avg:.4f}) Top-1 {accs.val:.3f} ({accs.avg:.3f})")
-        return state, losses.avg, rng
+        return self._run_teacher_forced_epoch(step, state, ds, epoch, rng, bs)
 
     # -- validation -----------------------------------------------------
     def validate(self, state: TrainState, ds: CaptionDataset, *,
