@@ -273,7 +273,9 @@ class Trainer:
                 if self.tcfg.scst_ce_weight > 0.0 else None)
         state, loss = upd(state, images, sampled_toks, jnp.asarray(reward),
                           caps)
-        return state, float(loss), float(reward[:, 0].mean())
+        # loss stays an unmaterialized device ref (float() would add a tunnel
+        # round trip per step); reward is host numpy already
+        return state, loss, float(reward[:, 0].mean())
 
     # -- LRP-inference fine-tuning modes --------------------------------
     @property
@@ -361,7 +363,7 @@ class Trainer:
         )
         upd = self._jit("lrp_scst_update", self.lrp_scst_update)
         state, loss = upd(state, images, sampled_toks, jnp.asarray(reward))
-        return state, float(loss), float(reward[:, 0].mean())
+        return state, loss, float(reward[:, 0].mean())
 
     # -- epoch loops ----------------------------------------------------
     def train_epoch_xe(self, state: TrainState, ds: CaptionDataset, epoch: int,
@@ -417,21 +419,25 @@ class Trainer:
     def train_epoch_scst(self, state: TrainState, ds: CaptionDataset, epoch: int,
                          rng: jax.Array, *, use_lrp: bool = False,
                          mid_epoch_checkpoints: bool | None = None):
-        losses, rewards = AverageMeter(), AverageMeter()
         num_steps = self.tcfg.max_caption_len - 1
         step_fn = self.lrp_scst_batch if use_lrp else self.scst_batch
         # the reference's trainciderlrp dumps a mid-epoch checkpoint at every
         # print boundary (train.py:280-285); same policy, sane location —
         # opt-in via fit(save_checkpoints=True)
         mid = bool(mid_epoch_checkpoints)
+        n_steps = max(1, len(ds) // self.tcfg.batch_size)
+        rngs = np.asarray(jax.random.split(rng, n_steps + 1))
+        loss_refs = []  # device refs — materialize at boundaries only
+        rewards = AverageMeter()
         for i, batch in enumerate(ds.train_batches(self.tcfg.batch_size)):
-            rng, srng = jax.random.split(rng)
-            state, loss, rew = step_fn(state, batch, srng, num_steps)
-            losses.update(loss)
+            state, loss, rew = step_fn(state, batch,
+                                       rngs[min(i, n_steps - 1)], num_steps)
+            loss_refs.append(loss)
             rewards.update(rew)
             if i % self.tcfg.print_freq == 0:
-                print(f"Epoch: [{epoch}][{i}] Loss {losses.val:.4f} "
-                      f"({losses.avg:.4f}) Reward {rewards.val:.3f} "
+                avg = float(np.mean(np.asarray(jnp.stack(loss_refs))))
+                print(f"Epoch: [{epoch}][{i}] Loss {float(loss):.4f} "
+                      f"({avg:.4f}) Reward {rewards.val:.3f} "
                       f"({rewards.avg:.3f})")
                 if mid and self.exp.save_path:
                     from .checkpoint import save_checkpoint
@@ -440,7 +446,9 @@ class Trainer:
                         self.tcfg.dataset, f"{epoch}lrpcider_batch{i}", 0,
                         state, 0.0, 0.0, self.exp.save_path, self.cfg.encoder,
                     )
-        return state, losses.avg, rng
+        avg = (float(np.mean(np.asarray(jnp.stack(loss_refs))))
+               if loss_refs else 0.0)
+        return state, avg, jnp.asarray(rngs[-1])
 
     def train_epoch_lrp(self, state: TrainState, ds: CaptionDataset, epoch: int,
                         rng: jax.Array):
