@@ -69,6 +69,18 @@ class GridTDExplainerBase:
         self.quirk = (self.DEFAULT_QUIRK if language_double_bias_i is None
                       else language_double_bias_i)
         self.cnn_word_chunk = cnn_word_chunk
+        # TPU matmul precision for the whole explanation program.  The default
+        # (1-pass bf16 multiply) costs ~4e-3 absolute drift on the normalized
+        # word relevances vs CPU f32; BF16_BF16_F32_X3 halves that at
+        # MEASURED-zero throughput cost (87.5 vs 87.4 img/s on v5e — the hot
+        # CNN relevance backward is HBM-bound).  Pixel relevance maps are at
+        # MAE ~2e-9 either way ('highest' reaches r_words 1.5e-5 but costs
+        # 3.3x).  See tools/ precision sweep notes in README.
+        # (CPU/GPU backends reject the TPU-specific algorithm — they already
+        # run true f32, so no override is needed there.)
+        self.matmul_precision = (
+            "BF16_BF16_F32_X3" if jax.default_backend() in ("tpu", "axon")
+            else None)
         self._core = jax.jit(self._explain_core)
 
     # -- subclass hooks --------------------------------------------------
@@ -87,6 +99,12 @@ class GridTDExplainerBase:
     # -- compiled core ---------------------------------------------------
     def _explain_core(self, params: CaptionerParams, image: jax.Array):
         """image (1, H, W, 3) -> everything, fixed shapes."""
+        if self.matmul_precision is None:
+            return self._explain_core_inner(params, image)
+        with jax.default_matmul_precision(self.matmul_precision):
+            return self._explain_core_inner(params, image)
+
+    def _explain_core_inner(self, params: CaptionerParams, image: jax.Array):
         cap, wm = self.cap, self.word_map
         feats = cap.encode(params, image)
         beam = cap.beam_search_single(
