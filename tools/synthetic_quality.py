@@ -166,6 +166,9 @@ def main(argv=None):
                                         mesh=MeshConfig()), word_map)
 
     modes = args.modes.split(",")
+    if modes != ["xe"] and "xe" not in modes:
+        p.error("fine-tune modes warm-start from XE weights; include 'xe' "
+                "in --modes (e.g. --modes xe,cider)")
     results = {"config": {"vocab": len(word_map),
                           "hidden": args.hidden_dim,
                           "train_pairs": len(train_ds),
