@@ -111,8 +111,18 @@ def main(args=None):
             num_images=8, height=64, width=64,
             from_features=exp.model.is_bu,
         )
-        exp = exp.replace(train=dataclasses.replace(
-            exp.train, batch_size=min(exp.train.batch_size, 8)))
+        # shrink the model to the toy geometry (64px -> 4x4 grid; vocab from
+        # the toy word map via the Trainer)
+        exp = exp.replace(
+            model=dataclasses.replace(
+                exp.model, height=64, width=64,
+                num_pixels=36 if exp.model.is_bu else 16,
+                embed_dim=min(exp.model.embed_dim, 32),
+                hidden_dim=min(exp.model.hidden_dim, 48),
+                vocab_size=0, vocab_pad_multiple=1,
+            ),
+            train=dataclasses.replace(
+                exp.train, batch_size=min(exp.train.batch_size, 8)))
     else:
         if not (args.wordmap and args.train_json and args.val_json):
             raise SystemExit("--wordmap/--train-json/--val-json required "
