@@ -277,11 +277,35 @@ class GridTDExplainerBase:
                   "w") as f:
             yaml.safe_dump(ling, f)
 
+        rel = exp.relevance_images
+        if rel.ndim == 2:
+            # Grad-CAM style: (T, P) grid maps — pyramid-expand to image size
+            # and alpha-blend like the reference's visuallize_attention
+            # (LRPtools/utils.py:150-171, blend 0.6; gridTDmodel.py:1772-1791)
+            from ..utils.viz import upscale_attention
+
+            hw = int(np.sqrt(rel.shape[1]))
+            upscale = 224 // hw
+            img = Image.open(img_filepath).convert("RGB").resize(
+                (hw * upscale, hw * upscale))
+            import matplotlib.cm as cm
+
+            for t in range(len(exp.caption)):
+                att = upscale_attention(rel[t], (hw, hw), upscale=upscale)
+                att = np.clip(att, 0.0, 1.0)
+                hm = cm.get_cmap("jet")(att)[..., :3]
+                blend = Image.blend(
+                    img, Image.fromarray(np.uint8(hm * 255)), 0.6)
+                if t_list is None or t in (t_list or []):
+                    blend.save(os.path.join(
+                        out_dir, f"{t}_{self.EX_TYPE}_{exp.caption[t]}.jpg"))
+            return out_dir
+
         img = Image.open(img_filepath).convert("RGB").resize(
-            (exp.relevance_images.shape[2], exp.relevance_images.shape[1])
+            (rel.shape[2], rel.shape[1])
         )
         for t in range(len(exp.caption)):
-            hm = gamma_correction(exp.relevance_images[t][None])
+            hm = gamma_correction(rel[t][None])
             hm = heatmap_rgb(hm)[0]
             blend = Image.blend(img, Image.fromarray(np.uint8(hm * 255)), 1.0)
             if t_list is None or t in (t_list or []):
