@@ -478,12 +478,19 @@ class Trainer:
             )
 
         fn = self._jit("val_decode", decode_batch)
-        hypotheses, references = {}, {}
-        image_id = 0
+        # dispatch every batch first, keep device refs; ONE stacked transfer
+        # at the end (a per-batch np.asarray costs a tunnel round trip each)
+        pend = []
         for eb in ds.eval_batches(eval_batch):
             res = fn(state.params, jnp.asarray(eb.images))
-            toks = np.asarray(res.tokens)
-            lens = np.asarray(res.length)
+            pend.append((res, eb))
+        if pend:
+            all_toks = np.asarray(jnp.stack([r.tokens for r, _ in pend]))
+            all_lens = np.asarray(jnp.stack([r.length for r, _ in pend]))
+        hypotheses, references = {}, {}
+        image_id = 0
+        for b, (_, eb) in enumerate(pend):
+            toks, lens = all_toks[b], all_lens[b]
             for j in range(len(eb.filenames)):
                 if not eb.valid[j]:
                     continue
