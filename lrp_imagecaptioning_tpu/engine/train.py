@@ -206,9 +206,18 @@ class Trainer:
         )
 
     # -- SCST mode ------------------------------------------------------
-    def scst_rollout(self, state: TrainState, images, num_steps: int, rng):
+    def _encode_cnn_jit(self, state: TrainState, images):
+        """Run the (frozen) CNN half once per SCST step; rollout and update
+        share the result instead of each re-running the conv stack."""
+        fn = self._jit(
+            "scst_encode_cnn",
+            lambda s, im: self.captioner.encode_cnn(s.params, im),
+        )
+        return fn(state, images)
+
+    def scst_rollout(self, state: TrainState, raw, avg, num_steps: int, rng):
         """Greedy baseline (no grad) + sampled rollout, one program."""
-        feats = self.captioner.encode(state.params, images)
+        feats = self.captioner.project_features(state.params, raw, avg)
         greedy = self.captioner.sample(
             state.params, feats, self.word_map,
             jax.random.PRNGKey(0), num_steps=num_steps, sample_method="greedy",
@@ -219,16 +228,24 @@ class Trainer:
         )
         return greedy.tokens, sampled.tokens
 
-    def scst_update(self, state: TrainState, images, sampled, reward,
-                    captions=None):
+    def scst_update(self, state: TrainState, raw, avg, images, sampled,
+                    reward, captions=None):
         """Policy-gradient update: teacher-force the sampled sequence to
         recover its logprobs with gradients attached.  With
         ``scst_ce_weight > 0`` a teacher-forced CE anchor on the ground-truth
         caption is mixed in (beyond-reference collapse guard,
-        docs/QUALITY.md)."""
+        docs/QUALITY.md).
+
+        ``raw``/``avg`` are the shared frozen-CNN features; with
+        ``finetune_encoder`` the CNN re-runs here instead so gradients reach
+        it (``images`` is unused/DCE'd otherwise)."""
 
         def loss_fn(params):
-            feats, bn_stats = self._train_encode(params, images)
+            if self.tcfg.finetune_encoder:
+                feats, bn_stats = self._train_encode(params, images)
+            else:
+                feats = self.captioner.project_features(params, raw, avg)
+                bn_stats = None
             b, ts = sampled.shape
             start_col = jnp.full((b, 1), self.word_map.start, jnp.int32)
             inputs = jnp.concatenate([start_col, sampled], axis=1)
@@ -259,9 +276,10 @@ class Trainer:
         """Full SCST step: device rollout -> host CIDEr advantage -> device
         update (the one host round-trip per step, SURVEY.md §5)."""
         images = jnp.asarray(batch.images)
+        raw, avg = self._encode_cnn_jit(state, images)
         ro = self._jit("scst_rollout", self.scst_rollout,
-                       static_argnums=(2,))
-        greedy_toks, sampled_toks = ro(state, images, num_steps, rng)
+                       static_argnums=(3,))
+        greedy_toks, sampled_toks = ro(state, raw, avg, num_steps, rng)
         reward = get_self_critical_reward(
             np.asarray(greedy_toks), batch.all_captions, np.asarray(sampled_toks),
             self.word_map,
@@ -271,8 +289,8 @@ class Trainer:
         upd = self._jit("scst_update", self.scst_update)
         caps = (jnp.asarray(batch.captions)
                 if self.tcfg.scst_ce_weight > 0.0 else None)
-        state, loss = upd(state, images, sampled_toks, jnp.asarray(reward),
-                          caps)
+        state, loss = upd(state, raw, avg, images, sampled_toks,
+                          jnp.asarray(reward), caps)
         # loss stays an unmaterialized device ref (float() would add a tunnel
         # round trip per step); reward is host numpy already
         return state, loss, float(reward[:, 0].mean())
@@ -312,10 +330,11 @@ class Trainer:
         return state.replace(params=params, opt_state=opt_state,
                              step=state.step + 1), loss, acc
 
-    def lrp_scst_rollout(self, state: TrainState, images, num_steps: int, rng):
+    def lrp_scst_rollout(self, state: TrainState, raw, avg, num_steps: int,
+                         rng):
         """Greedy baseline + LRP-weighted sampled rollout
         (trainciderlrp, train.py:252-286)."""
-        feats = self.captioner.encode(state.params, images)
+        feats = self.captioner.project_features(state.params, raw, avg)
         greedy = self.captioner.sample(
             state.params, feats, self.word_map, jax.random.PRNGKey(0),
             num_steps=num_steps, sample_method="greedy",
@@ -326,12 +345,18 @@ class Trainer:
         )
         return greedy.tokens, sampled
 
-    def lrp_scst_update(self, state: TrainState, images, sampled, reward):
+    def lrp_scst_update(self, state: TrainState, raw, avg, images, sampled,
+                        reward):
         """Policy gradient through the LRP-weighted logprobs (re-derived by
-        teacher-forcing the sampled sequence through forward_lrp)."""
+        teacher-forcing the sampled sequence through forward_lrp).  Shared
+        frozen-CNN features like :meth:`scst_update`."""
 
         def loss_fn(params):
-            feats, bn_stats = self._train_encode(params, images)
+            if self.tcfg.finetune_encoder:
+                feats, bn_stats = self._train_encode(params, images)
+            else:
+                feats = self.captioner.project_features(params, raw, avg)
+                bn_stats = None
             b, ts = sampled.shape
             start_col = jnp.full((b, 1), self.word_map.start, jnp.int32)
             inputs = jnp.concatenate([start_col, sampled], axis=1)
@@ -352,9 +377,10 @@ class Trainer:
 
     def lrp_scst_batch(self, state: TrainState, batch, rng, num_steps: int):
         images = jnp.asarray(batch.images)
+        raw, avg = self._encode_cnn_jit(state, images)
         ro = self._jit("lrp_scst_rollout", self.lrp_scst_rollout,
-                       static_argnums=(2,))
-        greedy_toks, sampled_toks = ro(state, images, num_steps, rng)
+                       static_argnums=(3,))
+        greedy_toks, sampled_toks = ro(state, raw, avg, num_steps, rng)
         reward = get_self_critical_reward(
             np.asarray(greedy_toks), batch.all_captions, np.asarray(sampled_toks),
             self.word_map,
@@ -362,7 +388,8 @@ class Trainer:
             bleu_reward_weight=self.tcfg.bleu_reward_weight,
         )
         upd = self._jit("lrp_scst_update", self.lrp_scst_update)
-        state, loss = upd(state, images, sampled_toks, jnp.asarray(reward))
+        state, loss = upd(state, raw, avg, images, sampled_toks,
+                          jnp.asarray(reward))
         return state, loss, float(reward[:, 0].mean())
 
     # -- epoch loops ----------------------------------------------------

@@ -211,14 +211,15 @@ class Captioner:
                                self.family.init(dec_rng))
 
     # -- encoding ---------------------------------------------------------
-    def encode(
-        self, params: CaptionerParams, visual: jax.Array, *,
-        stop_encoder_gradient: bool = True,
-    ):
-        """visual: (B, H, W, 3) images for the CNN path or (B, 36, D) region
-        features for the BU path."""
+    def encode_cnn(self, params: CaptionerParams, visual: jax.Array, *,
+                   stop_encoder_gradient: bool = True):
+        """The CNN half of :meth:`encode`: (raw grid, avg) features.  For the
+        BU path this is a passthrough (the regions ARE the raw features).
+        Exposed separately so SCST can run the frozen CNN once per step and
+        share it between rollout and update (the trainable projection half
+        lives in :meth:`project_features`)."""
         if self.cfg.is_bu:
-            return self.family.encode(params.decoder, visual, None)
+            return visual, None
         # compute_dtype lowers the CNN forward precision (bfloat16 on TPU);
         # float32 (default) is a no-op.  Relevance stashes are always f32.
         dt = (None if self.cfg.compute_dtype == "float32"
@@ -233,7 +234,21 @@ class Captioner:
         if stop_encoder_gradient:  # frozen CNN (train.py:102-104)
             raw = jax.lax.stop_gradient(raw)
             avg = jax.lax.stop_gradient(avg)
+        return raw, avg
+
+    def project_features(self, params: CaptionerParams, raw, avg):
+        """The trainable (decoder-side) projection half of :meth:`encode`."""
         return self.family.encode(params.decoder, raw, avg)
+
+    def encode(
+        self, params: CaptionerParams, visual: jax.Array, *,
+        stop_encoder_gradient: bool = True,
+    ):
+        """visual: (B, H, W, 3) images for the CNN path or (B, 36, D) region
+        features for the BU path."""
+        raw, avg = self.encode_cnn(
+            params, visual, stop_encoder_gradient=stop_encoder_gradient)
+        return self.project_features(params, raw, avg)
 
     def encode_train(self, params: CaptionerParams, visual: jax.Array):
         """Fine-tuning encode (gradients flow into the CNN, train.py:95-109):
