@@ -35,7 +35,16 @@ def make_vgg_guided_backward(
     spec: tuple[VGGLayer, ...] = VGG16_SPEC,
 ):
     """Guided-backprop backward closure sharing one forward stash (same
-    amortization as make_vgg_lrp_backward)."""
+    amortization as make_vgg_lrp_backward).
+
+    The maxpool backward uses a winner mask ``(x == up(pool(x)))``
+    precomputed once in the stash, so each per-word backward is elementwise
+    (no per-word SelectAndScatter).  In VGG every pool directly follows a
+    ReLU, and its backward record directly precedes the relu rule that gates
+    by ``out > 0`` — so the mask's only divergence from single-winner
+    routing (all-zero windows, where the mask credits every tied zero) is
+    zeroed one step later; positive ties are measure-zero for float
+    activations."""
     x = image.astype(jnp.float32)
     records = []
     for layer in spec:
@@ -48,9 +57,10 @@ def make_vgg_guided_backward(
             x = jax.nn.relu(x)
             records.append(("relu", x, None))  # stash the relu OUTPUT
         elif layer.kind == "maxpool":
-            _, vjp = jax.vjp(maxpool2x2, x)
-            records.append(("maxpool", None, vjp))
-            x = maxpool2x2(x)
+            z = maxpool2x2(x)
+            winner = (x == jnp.repeat(jnp.repeat(z, 2, axis=1), 2, axis=2))
+            records.append(("maxpool_fast", winner.astype(jnp.float32), None))
+            x = z
 
     def backward(g: jax.Array) -> jax.Array:
         g = g.astype(jnp.float32)
@@ -58,6 +68,8 @@ def make_vgg_guided_backward(
             if kind == "relu":
                 # guided rule: positive grads, gated by positive activations
                 g = jnp.maximum(g, 0.0) * (out > 0)
+            elif kind == "maxpool_fast":
+                g = out * jnp.repeat(jnp.repeat(g, 2, axis=1), 2, axis=2)
             else:
                 (g,) = vjp(g)
         return g

@@ -100,18 +100,40 @@ def vgg_lrp(
     return r
 
 
+def _upsample2x(z: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x spatial upsample of an NHWC map (inverse of the
+    2x2/stride-2 pool grid)."""
+    return jnp.repeat(jnp.repeat(z, 2, axis=1), 2, axis=2)
+
+
 def make_vgg_lrp_backward(
     params: VGGParams,
     image: jax.Array,  # (1, H, W, 3) — single image
     *,
     spec: tuple[VGGLayer, ...] = VGG16_SPEC,
+    pool_mode: str = "fast",
 ):
     """Amortized per-caption CNN LRP: run the forward (and each rule's
     clamped-weight forward) ONCE, capture the per-layer vjp closures — which
     are linear in the relevance — and return a backward function to apply per
     explained word.  Explaining T words then costs T linear backward passes
     but only one forward stash (the reference re-fires all hooks per word,
-    gridTDmodel.py:1147-1152)."""
+    gridTDmodel.py:1147-1152).
+
+    ``pool_mode`` selects the maxpool winner-take-all implementation:
+
+    - ``"fast"`` (default): the boolean winner map ``W = (x == up(z)) & (x>0)``
+      is precomputed ONCE per caption in the shared stash; each per-word
+      backward is then ``W * up(r)`` — pure elementwise, no per-word
+      SelectAndScatter.  Pool inputs are post-ReLU (x >= 0) in VGG, so the
+      winner-take-all rule ``x * scatter(r/z)`` equals exactly ``r`` at the
+      window argmax and 0 elsewhere (all-zero windows: the x factor kills the
+      r/eps term).  The only divergence from the vjp form is exact positive
+      ties inside a 2x2 window (relevance is then credited to every tied
+      winner instead of one), measure-zero for float activations.
+    - ``"vjp"``: the reference-faithful gradient trick
+      (lrp_modules.py:182-195) via SelectAndScatter per word.
+    """
     x = image.astype(jnp.float32)
     records = []  # (kind, x_in, z_rule, vjp)
     nonneg = False  # is the current activation provably >= 0 (post-relu)?
@@ -144,14 +166,32 @@ def make_vgg_lrp_backward(
             x = jax.nn.relu(x)
             nonneg = True
         elif layer.kind == "maxpool":
-            z, vjp = jax.vjp(maxpool2x2, x)
-            records.append(("maxpool", x, z, vjp))
-            x = maxpool2x2(x)  # preserves non-negativity
+            if pool_mode == "fast":
+                z = maxpool2x2(x)
+                z_up = _upsample2x(z)
+                # pool inputs are post-ReLU (x >= 0), so the winner-take-all
+                # rule x * scatter(r/z) equals r at the window argmax and 0
+                # elsewhere (including all-zero windows, where the x factor
+                # kills the r/eps term) — one exact boolean mask, no per-word
+                # division or rounding
+                winner = ((x == z_up) & (x > 0)).astype(jnp.float32)
+                records.append(("maxpool_fast", winner, None, None))
+                x = z
+            else:
+                z, vjp = jax.vjp(maxpool2x2, x)
+                records.append(("maxpool", x, z, vjp))
+                x = maxpool2x2(x)  # preserves non-negativity
 
-    def backward(r_feature: jax.Array) -> jax.Array:
+    def backward(r_feature: jax.Array, *, down_to: int = 0) -> jax.Array:
+        """Walk relevance from the feature grid down to record index
+        ``down_to`` (0 = all the way to input pixels; diagnostic knob for
+        per-depth cost attribution, tools/bench_cnn_stages.py)."""
         r = r_feature.astype(jnp.float32)
-        for kind, x_in, z, vjp in reversed(records):
+        for kind, x_in, z, vjp in reversed(records[down_to:]):
             if kind == "relu":
+                continue
+            if kind == "maxpool_fast":
+                r = x_in * _upsample2x(r)
                 continue
             (grad,) = vjp(safe_divide(r, z))
             r = x_in * grad

@@ -128,3 +128,85 @@ def test_full_vgg16_lrp_runs_and_finite():
     assert rel.shape == (1, 64, 64, 3)
     assert np.isfinite(rel).all()
     assert np.abs(rel).sum() > 0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fast_pool_backward_matches_vjp(seed):
+    """pool_mode='fast' (precomputed boolean winner map, the production
+    default) must equal the reference-faithful vjp gradient trick on float
+    activations (ties are measure-zero; all-zero windows covered below)."""
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import make_vgg_lrp_backward
+    from lrp_imagecaptioning_tpu.models.encoders import init_vgg16
+
+    params = init_vgg16(jax.random.PRNGKey(seed))
+    img = jax.random.normal(jax.random.PRNGKey(seed + 10), (1, 32, 32, 3))
+    seeds = jax.random.normal(jax.random.PRNGKey(seed + 20), (3, 2, 2, 512))
+
+    out = {}
+    for mode in ("vjp", "fast"):
+        backward, _ = make_vgg_lrp_backward(params, img, pool_mode=mode)
+        out[mode] = np.asarray(jax.vmap(lambda r: backward(r[None])[0])(seeds))
+    np.testing.assert_allclose(out["fast"], out["vjp"], rtol=1e-5, atol=1e-7)
+
+
+def test_fast_pool_zero_windows_give_zero_relevance():
+    """All-zero pool windows (ubiquitous post-ReLU) must produce zero input
+    relevance in the fast path, exactly like x * scatter(safe_divide(r, 0~))
+    in the vjp form (lrp_modules.py:182-195)."""
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import (
+        _upsample2x,
+        make_vgg_lrp_backward,
+    )
+    from lrp_imagecaptioning_tpu.models.encoders import init_vgg16
+
+    params = init_vgg16(jax.random.PRNGKey(0))
+    img = jnp.zeros((1, 32, 32, 3), jnp.float32)  # all activations zero after
+    # subtracting biasless convs of zeros -> relu(0) = 0 everywhere
+    backward, _ = make_vgg_lrp_backward(params, img, pool_mode="fast")
+    r = backward(jnp.ones((1, 2, 2, 512), jnp.float32))
+    assert np.asarray(jnp.abs(r)).sum() == 0.0
+
+
+def test_guided_fast_pool_matches_true_vjp():
+    """Guided-backprop with winner-mask pools equals the true maxpool vjp
+    formulation (the relu gate below each pool kills zero-window ties)."""
+    from lrp_imagecaptioning_tpu.explain.cnn_gradient import (
+        make_vgg_guided_backward,
+    )
+    from lrp_imagecaptioning_tpu.models.encoders import (
+        conv2d,
+        init_vgg16,
+        maxpool2x2,
+        vgg_spec,
+    )
+
+    params = init_vgg16(jax.random.PRNGKey(3))
+    img = jax.random.normal(jax.random.PRNGKey(4), (1, 32, 32, 3))
+    seed = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 2, 512))
+
+    got = np.asarray(make_vgg_guided_backward(params, img)(seed))
+
+    # oracle: same walk but pools via true jax.vjp (the pre-optimization
+    # formulation)
+    x = img.astype(jnp.float32)
+    records = []
+    for layer in vgg_spec():
+        if layer.kind == "conv":
+            p = params.convs[layer.param_idx]
+            _, vjp = jax.vjp(lambda xx, p=p: conv2d(p, xx), x)
+            records.append(("conv", None, vjp))
+            x = conv2d(p, x)
+        elif layer.kind == "relu":
+            x = jax.nn.relu(x)
+            records.append(("relu", x, None))
+        elif layer.kind == "maxpool":
+            _, vjp = jax.vjp(maxpool2x2, x)
+            records.append(("maxpool", None, vjp))
+            x = maxpool2x2(x)
+    g = seed.astype(jnp.float32)
+    for kind, out_act, vjp in reversed(records):
+        if kind == "relu":
+            g = jnp.maximum(g, 0.0) * (out_act > 0)
+        else:
+            (g,) = vjp(g)
+    np.testing.assert_allclose(got, np.asarray(g), rtol=1e-5, atol=1e-7)
