@@ -111,15 +111,32 @@ class SPICE(Score):
 
 
 class BERT(Score):
+    """BERTScore — prefers the ``bert_score`` package if installed (exactly
+    what the reference wraps, pycocoevalcap/bert/bert.py:43), else falls back
+    to the native implementation (:mod:`.bertscore`, same algorithm on
+    transformers directly), else warn + 0.0."""
+
     def __init__(self):
         super().__init__("bert")
 
     def _compute(self, hyps, refs):
         try:
             from bert_score import score as bert_score_fn  # type: ignore
+
+            # reference aggregation (bert.py:27-46): one pair per reference
+            flat_c = [h for h, rl in zip(hyps, refs) for _ in rl]
+            flat_r = [r for rl in refs for r in rl]
+            _, _, f1 = bert_score_fn(flat_c, flat_r, lang="en")
+            return float(f1.mean())
         except ImportError:
-            warnings.warn("bert_score not installed; returning 0.0")
+            pass
+        from .bertscore import BertScoreUnavailable, bert_score_corpus
+
+        try:
+            avg, _ = bert_score_corpus(hyps, refs)
+            return float(avg)
+        except BertScoreUnavailable as e:
+            warnings.warn(
+                f"BERTScore unavailable ({e}); returning 0.0 (same graceful "
+                "degradation as the reference METEOR fallback).")
             return 0.0
-        flat_refs = [r for r in refs]
-        _, _, f1 = bert_score_fn(hyps, flat_refs, lang="en")
-        return float(f1.mean())
