@@ -68,7 +68,11 @@ def main():
 
     smoke = args.preset == "smoke"
     batch = args.batch or (2 if smoke else 8)
-    iters = args.iters or (2 if smoke else 5)
+    # 20 iterations: the measured rate keeps rising with iters (88/95/97
+    # img/s at 5/10/20 on 1xv5e) because a fixed per-run dispatch overhead
+    # amortizes out; 20 is within ~1% of the steady-state asymptote and the
+    # timed window is still only ~1.7 s.
+    iters = args.iters or (2 if smoke else 20)
     hw = 64 if smoke else 224
     max_words = args.max_words or (6 if smoke else 16)
 

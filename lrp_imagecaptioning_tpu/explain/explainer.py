@@ -343,11 +343,12 @@ class AOALrpExplainer(GridTDExplainerBase):
 
     def __init__(self, captioner, params, word_map, *, head_idx: int = 0,
                  beam_size: int = 3, max_words: int = 20,
-                 language_double_bias_i: bool | None = None):
+                 language_double_bias_i: bool | None = None, **kw):
         self.head_idx = head_idx
         super().__init__(
             captioner, params, word_map, beam_size=beam_size,
             max_words=max_words, language_double_bias_i=language_double_bias_i,
+            **kw,
         )
 
     def _make_stash(self, params, feats, tokens_in):
@@ -481,10 +482,11 @@ class AdaptiveLrpExplainer(GridTDExplainerBase):
     EX_TYPE = "lrp"
 
     def __init__(self, captioner, params, word_map, *, beam_size: int = 3,
-                 max_words: int = 20, language_double_bias_i: bool | None = None):
+                 max_words: int = 20, language_double_bias_i: bool | None = None,
+                 **kw):
         super().__init__(captioner, params, word_map, beam_size=beam_size,
                          max_words=max_words,
-                         language_double_bias_i=language_double_bias_i)
+                         language_double_bias_i=language_double_bias_i, **kw)
 
     def _make_stash(self, params, feats, tokens_in):
         from .adaptive_lrp import stash_forward as ada_stash
