@@ -112,6 +112,7 @@ def make_vgg_lrp_backward(
     *,
     spec: tuple[VGGLayer, ...] = VGG16_SPEC,
     pool_mode: str = "fast",
+    r_dtype=jnp.float32,
 ):
     """Amortized per-caption CNN LRP: run the forward (and each rule's
     clamped-weight forward) ONCE, capture the per-layer vjp closures — which
@@ -133,6 +134,14 @@ def make_vgg_lrp_backward(
       winner instead of one), measure-zero for float activations.
     - ``"vjp"``: the reference-faithful gradient trick
       (lrp_modules.py:182-195) via SelectAndScatter per word.
+
+    ``r_dtype`` is the STORAGE dtype of the per-word relevance map between
+    layers (all arithmetic stays f32).  ``bfloat16`` halves the dominant
+    HBM traffic of the walk; on this TPU backend the conv data-grads round
+    their operands to bf16 internally anyway (measured bit-identical across
+    every matmul-precision setting, and max-rel ~7e-3 vs the CPU f32 walk
+    with f32 storage), so bf16 storage adds error of the same order that
+    the hardware already injects.  CPU/parity paths keep the f32 default.
     """
     x = image.astype(jnp.float32)
     records = []  # (kind, x_in, z_rule, vjp)
@@ -184,20 +193,61 @@ def make_vgg_lrp_backward(
 
     def backward(r_feature: jax.Array, *, down_to: int = 0) -> jax.Array:
         """Walk relevance from the feature grid down to record index
-        ``down_to`` (0 = all the way to input pixels; diagnostic knob for
-        per-depth cost attribution, tools/bench_cnn_stages.py)."""
+        ``down_to`` (0 = all the way to input pixels; record index == spec
+        index — used by the block-1 kernel split and the depth diagnostics
+        in tools/bench_cnn_stages.py)."""
         r = r_feature.astype(jnp.float32)
         for kind, x_in, z, vjp in reversed(records[down_to:]):
             if kind == "relu":
                 continue
             if kind == "maxpool_fast":
-                r = x_in * _upsample2x(r)
+                r = (x_in * _upsample2x(r.astype(jnp.float32))).astype(
+                    r_dtype)
                 continue
-            (grad,) = vjp(safe_divide(r, z))
-            r = x_in * grad
-        return r
+            (grad,) = vjp(safe_divide(r.astype(jnp.float32), z))
+            r = (x_in * grad).astype(r_dtype)
+        return r.astype(jnp.float32)
 
+    backward.records = records  # exposed for the split walk below
     return backward, x  # final feature map as a bonus
+
+
+_BLOCK1_KINDS = ("conv", "relu", "conv", "relu", "maxpool")
+
+
+def make_vgg_lrp_backward_split(
+    params: VGGParams,
+    image: jax.Array,  # (1, H, W, 3)
+    *,
+    spec: tuple[VGGLayer, ...] = VGG16_SPEC,
+    r_dtype=jnp.float32,
+):
+    """Split the per-caption walk for the fused block-1 Pallas kernel
+    (ops/pallas_block1.py): returns ``(upper, block1_inputs)`` where
+    ``upper(r_feature)`` walks every record ABOVE spec[:5] (producing the
+    pool-1 output relevance, (1, H/2, W/2, C1)) and ``block1_inputs`` is the
+    ``(winner, z2, a1, z1c, image, w2, w1)`` tuple the kernel consumes —
+    all derived from the same shared stash, so kernel-on and kernel-off
+    walks are numerically the same chain."""
+    assert tuple(l.kind for l in spec[:5]) == _BLOCK1_KINDS, spec[:5]
+    backward, final = make_vgg_lrp_backward(
+        params, image, spec=spec, pool_mode="fast", r_dtype=r_dtype)
+    rec = backward.records
+    assert rec[4][0] == "maxpool_fast"
+
+    def upper(r_feature: jax.Array) -> jax.Array:
+        return backward(r_feature, down_to=5)
+
+    block1_inputs = dict(
+        winner=rec[4][1][0],  # fast-pool record stores the boolean winner
+        z2=rec[2][2][0],      # conv1_2 pos-forward pre-activation
+        a1=rec[2][1][0],      # conv1_2 input = relu(z1)
+        z1c=rec[0][2][0],     # conv1_1 clamped-forward pre-activation
+        image=rec[0][1][0],   # conv1_1 input = the (normalized) image
+    )
+    weights = (params.convs[spec[2].param_idx].weight,
+               params.convs[spec[0].param_idx].weight)  # (w2, w1)
+    return upper, block1_inputs, weights
 
 
 def vgg_lrp_multi(

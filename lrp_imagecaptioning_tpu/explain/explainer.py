@@ -60,6 +60,9 @@ class GridTDExplainerBase:
         max_words: int = 20,
         language_double_bias_i: bool | None = None,
         cnn_word_chunk: int = 8,
+        pallas_block1: bool | None = None,
+        block1_dot_mode: str = "bf16",
+        cnn_r_dtype: str | None = None,
     ):
         self.cap = captioner
         self.params = params
@@ -69,6 +72,25 @@ class GridTDExplainerBase:
         self.quirk = (self.DEFAULT_QUIRK if language_double_bias_i is None
                       else language_double_bias_i)
         self.cnn_word_chunk = cnn_word_chunk
+        # fused block-1 Pallas kernel for the LRP CNN bottom stage
+        # (ops/pallas_block1.py).  Measured on 1xv5e (batch 8, words 16):
+        # standalone it TIES the XLA record walk (3.43 vs 3.16 ms/img for
+        # the same pool1+conv1_2+conv1_1 chain) and in situ it is ~1-4%
+        # behind (92.7-96.1 vs 93.9-100.8 img/s), so the default is OFF —
+        # XLA's native conv emitter + fusion already saturates this stage;
+        # the kernel remains for study/when the balance shifts.  The "bf16"
+        # dot mode matches this backend's XLA conv results exactly (its f32
+        # convs already run as one bf16 MXU pass — measured bit-identical;
+        # "bf16x3" is MORE accurate than the XLA path).
+        self.pallas_block1 = (False if pallas_block1 is None
+                              else pallas_block1)
+        self.block1_dot_mode = block1_dot_mode
+        # storage dtype for per-word relevance maps between CNN-walk layers
+        # (arithmetic stays f32).  None = auto: bfloat16 on TPU backends
+        # (whose conv data-grads round operands to bf16 internally anyway —
+        # measured max-rel ~7e-3 vs the CPU f32 walk EITHER way), float32
+        # elsewhere so the CPU parity suite is exact.
+        self.cnn_r_dtype = cnn_r_dtype
         # TPU matmul precision for the whole explanation program.  The default
         # (1-pass bf16 multiply) costs ~4e-3 absolute drift on the normalized
         # word relevances vs CPU f32; BF16_BF16_F32_X3 halves that at
@@ -97,14 +119,18 @@ class GridTDExplainerBase:
         raise NotImplementedError
 
     # -- compiled core ---------------------------------------------------
-    def _explain_core(self, params: CaptionerParams, image: jax.Array):
+    def _explain_core(self, params: CaptionerParams, image: jax.Array,
+                      cnn_stage=None):
         """image (1, H, W, 3) -> everything, fixed shapes."""
         if self.matmul_precision is None:
-            return self._explain_core_inner(params, image)
+            return self._explain_core_inner(params, image,
+                                            cnn_stage=cnn_stage)
         with jax.default_matmul_precision(self.matmul_precision):
-            return self._explain_core_inner(params, image)
+            return self._explain_core_inner(params, image,
+                                            cnn_stage=cnn_stage)
 
-    def _explain_core_inner(self, params: CaptionerParams, image: jax.Array):
+    def _explain_core_inner(self, params: CaptionerParams, image: jax.Array,
+                            cnn_stage=None):
         cap, wm = self.cap, self.word_map
         feats = cap.encode(params, image)
         beam = cap.beam_search_single(
@@ -123,7 +149,8 @@ class GridTDExplainerBase:
         if self.cap.cfg.is_bu:
             rel_imgs = word_exp.r_img_feature  # (T, P, C) region relevance
         else:
-            rel_imgs = self._cnn_stage(params, image, word_exp)
+            rel_imgs = (cnn_stage or self._cnn_stage)(
+                params, image, word_exp)
         beta = getattr(stash, "beta", None)
         if beta is None:
             beta = jnp.zeros(stash.predictions.shape[:1], jnp.float32)
@@ -131,12 +158,19 @@ class GridTDExplainerBase:
                 stash.alpha, stash.predictions, beta)
 
     # -- encoder-stage backends (dispatch on cfg.encoder) ----------------
+    def _resolved_r_dtype(self):
+        if self.cnn_r_dtype is not None:
+            return jnp.dtype(self.cnn_r_dtype)
+        return (jnp.bfloat16
+                if jax.default_backend() in ("tpu", "axon") else jnp.float32)
+
     def _lrp_backward_factory(self, params, image):
         if self.cap.cfg.encoder.startswith("resnet"):
             from .resnet_lrp import make_resnet_lrp_backward
 
             return make_resnet_lrp_backward(params.encoder, image)[0]
-        return make_vgg_lrp_backward(params.encoder, image)[0]
+        return make_vgg_lrp_backward(
+            params.encoder, image, r_dtype=self._resolved_r_dtype())[0]
 
     def _guided_backward_factory(self, params, image):
         if self.cap.cfg.encoder.startswith("resnet"):
@@ -181,15 +215,74 @@ class GridTDExplainerBase:
         alphas) for a batch of images."""
         return self.batched_core()(self.params, jnp.asarray(images))
 
+    # -- fused block-1 kernel plumbing (LRP + VGG only) -------------------
+    def _use_block1_kernel(self) -> bool:
+        if self.EX_TYPE != "lrp" or self.cap.cfg.is_bu:
+            return False
+        if self.cap.cfg.encoder != "vgg16":
+            return False
+        return bool(self.pallas_block1)
+
+    def _upper_cnn_stage(self, params, image, word_exp):
+        """CNN walk down to the pool-1 output only; returns (r_pool,
+        block1_inputs) for the fused kernel to finish at the batched level
+        (the kernel cannot run under the per-image vmap — Mosaic has no
+        batching rule for manually-DMA'd refs)."""
+        from .cnn_lrp import make_vgg_lrp_backward_split
+
+        upper, b1, _ = make_vgg_lrp_backward_split(
+            params.encoder, image, r_dtype=self._resolved_r_dtype())
+        r_pool = self._map_words(lambda r: upper(r[None])[0],
+                                 self._grid_seeds(word_exp))
+        return (r_pool, b1)
+
     def batched_core(self):
         """jitted (params, images (B, H, W, 3)) -> per-image explanation
         arrays — the throughput path: vmap of the full caption+LRP program
-        over an image batch (north-star metric, BASELINE.md)."""
+        over an image batch (north-star metric, BASELINE.md).  When the
+        fused block-1 kernel is enabled, the per-image vmap stops at the
+        pool-1 relevance and one batched kernel call per word chunk
+        finishes the walk to pixels."""
+        if not self._use_block1_kernel():
+            def f(params, images):
+                return jax.vmap(
+                    lambda im: self._explain_core(params, im[None])
+                )(images)
+
+            return jax.jit(f)
+
+        from ..ops.pallas_block1 import block1_lrp_backward
 
         def f(params, images):
-            return jax.vmap(
-                lambda im: self._explain_core(params, im[None])
+            (tokens, length, (r_pool, b1), r_words, alpha, preds,
+             beta) = jax.vmap(
+                lambda im: self._explain_core(
+                    params, im[None], cnn_stage=self._upper_cnn_stage)
             )(images)
+            # spec indices 0 and 2 hold conv1_1/conv1_2 -> param idx 0, 1
+            w1 = params.encoder.convs[0].weight
+            w2 = params.encoder.convs[1].weight
+            H = images.shape[1]
+            rows = 8 if H % 8 == 0 else (4 if H % 4 == 0 else 2)
+
+            def run(rp):
+                return block1_lrp_backward(
+                    rp, b1["winner"], b1["z2"], b1["a1"], b1["z1c"],
+                    b1["image"], w2, w1, rows_per_tile=rows,
+                    dot_mode=self.block1_dot_mode)
+
+            T, chunk = self.max_words, self.cnn_word_chunk
+            if chunk and T > chunk and T % chunk == 0:
+                B = r_pool.shape[0]
+                rp = r_pool.reshape(B, T // chunk, chunk,
+                                    *r_pool.shape[2:])
+                rp = jnp.moveaxis(rp, 1, 0)  # (T//chunk, B, chunk, ...)
+                rel = jax.lax.map(run, rp)
+                rel = jnp.moveaxis(rel, 0, 1).reshape(
+                    B, T, *rel.shape[3:])
+            else:
+                rel = run(r_pool)
+            return (tokens, length, rel, r_words, alpha, preds, beta)
 
         return jax.jit(f)
 
