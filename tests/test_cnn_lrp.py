@@ -210,3 +210,45 @@ def test_guided_fast_pool_matches_true_vjp():
         else:
             (g,) = vjp(g)
     np.testing.assert_allclose(got, np.asarray(g), rtol=1e-5, atol=1e-7)
+
+
+def test_r_dtype_bf16_storage_close_to_f32():
+    """bfloat16 relevance STORAGE between walk layers (the TPU default —
+    halves the dominant HBM traffic) must track the f32 walk to bf16
+    rounding scale; arithmetic stays f32 so the error does not compound
+    catastrophically over the 18 records."""
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import make_vgg_lrp_backward
+    from lrp_imagecaptioning_tpu.models.encoders import init_vgg16
+
+    params = init_vgg16(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    seed = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 2, 512))
+    f32_out = np.asarray(
+        make_vgg_lrp_backward(params, img)[0](seed))
+    bf16_out = np.asarray(
+        make_vgg_lrp_backward(params, img, r_dtype=jnp.bfloat16)[0](seed))
+    assert bf16_out.dtype == np.float32  # upcast on return
+    scale = np.abs(f32_out).max()
+    rel = np.abs(bf16_out - f32_out).max() / scale
+    assert 0 < rel < 3e-2, rel  # bf16 rounding scale, and not exact
+
+
+def test_cnn_r_dtype_resolution_cpu_default_is_f32():
+    """Off-TPU the auto default must stay float32 so the reference-parity
+    suite keeps its exact guarantees."""
+    from lrp_imagecaptioning_tpu.config import ModelConfig
+    from lrp_imagecaptioning_tpu.data.vocab import build_word_map
+    from lrp_imagecaptioning_tpu.explain import build_explainer
+    from lrp_imagecaptioning_tpu.models.captioner import Captioner
+
+    wm = build_word_map([["a"], ["b"]], min_word_freq=1)
+    cfg = __import__("dataclasses").replace(
+        ModelConfig(), model_type="gridtd", encoder="vgg16",
+        embed_dim=8, hidden_dim=8, vocab_size=len(wm), num_pixels=4)
+    cap = Captioner(cfg)
+    ex = build_explainer("lrp", cap, cap.init(jax.random.PRNGKey(0)), wm,
+                         max_words=2)
+    assert ex._resolved_r_dtype() == jnp.float32
+    ex2 = build_explainer("lrp", cap, cap.init(jax.random.PRNGKey(0)), wm,
+                          max_words=2, cnn_r_dtype="bfloat16")
+    assert ex2._resolved_r_dtype() == jnp.bfloat16
