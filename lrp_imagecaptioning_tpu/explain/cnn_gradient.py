@@ -33,6 +33,7 @@ def vgg_gradient(
 def make_vgg_guided_backward(
     params: VGGParams, image: jax.Array, *,
     spec: tuple[VGGLayer, ...] = VGG16_SPEC,
+    g_dtype=jnp.float32,
 ):
     """Guided-backprop backward closure sharing one forward stash (same
     amortization as make_vgg_lrp_backward).
@@ -63,16 +64,23 @@ def make_vgg_guided_backward(
             x = z
 
     def backward(g: jax.Array) -> jax.Array:
+        """``g_dtype`` is the storage dtype between layers (same rationale
+        as cnn_lrp's ``r_dtype``: this backend's conv data-grads round to
+        bf16 internally, so bf16 storage halves HBM traffic at the error
+        scale already present)."""
         g = g.astype(jnp.float32)
         for kind, out, vjp in reversed(records):
             if kind == "relu":
                 # guided rule: positive grads, gated by positive activations
-                g = jnp.maximum(g, 0.0) * (out > 0)
+                g = (jnp.maximum(g.astype(jnp.float32), 0.0)
+                     * (out > 0)).astype(g_dtype)
             elif kind == "maxpool_fast":
-                g = out * jnp.repeat(jnp.repeat(g, 2, axis=1), 2, axis=2)
+                g = (out * jnp.repeat(jnp.repeat(
+                    g.astype(jnp.float32), 2, axis=1), 2, axis=2)
+                ).astype(g_dtype)
             else:
-                (g,) = vjp(g)
-        return g
+                (g,) = vjp(g.astype(jnp.float32))
+        return g.astype(jnp.float32)
 
     return backward
 

@@ -177,7 +177,8 @@ class GridTDExplainerBase:
             from .resnet_lrp import make_resnet_guided_backward
 
             return make_resnet_guided_backward(params.encoder, image)[0]
-        return make_vgg_guided_backward(params.encoder, image)
+        return make_vgg_guided_backward(
+            params.encoder, image, g_dtype=self._resolved_r_dtype())
 
     def _plain_gradient(self, params, image, seed):
         if self.cap.cfg.encoder.startswith("resnet"):

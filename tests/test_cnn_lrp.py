@@ -252,3 +252,20 @@ def test_cnn_r_dtype_resolution_cpu_default_is_f32():
     ex2 = build_explainer("lrp", cap, cap.init(jax.random.PRNGKey(0)), wm,
                           max_words=2, cnn_r_dtype="bfloat16")
     assert ex2._resolved_r_dtype() == jnp.bfloat16
+
+
+def test_guided_g_dtype_bf16_close_to_f32():
+    from lrp_imagecaptioning_tpu.explain.cnn_gradient import (
+        make_vgg_guided_backward,
+    )
+    from lrp_imagecaptioning_tpu.models.encoders import init_vgg16
+
+    params = init_vgg16(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    seed = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 2, 512))
+    f32_out = np.asarray(make_vgg_guided_backward(params, img)(seed))
+    bf_out = np.asarray(make_vgg_guided_backward(
+        params, img, g_dtype=jnp.bfloat16)(seed))
+    scale = max(np.abs(f32_out).max(), 1e-12)
+    rel = np.abs(bf_out - f32_out).max() / scale
+    assert 0 <= rel < 3e-2, rel
