@@ -168,7 +168,9 @@ class GridTDExplainerBase:
         if self.cap.cfg.encoder.startswith("resnet"):
             from .resnet_lrp import make_resnet_lrp_backward
 
-            return make_resnet_lrp_backward(params.encoder, image)[0]
+            return make_resnet_lrp_backward(
+                params.encoder, image,
+                r_dtype=self._resolved_r_dtype())[0]
         return make_vgg_lrp_backward(
             params.encoder, image, r_dtype=self._resolved_r_dtype())[0]
 

@@ -70,15 +70,20 @@ def _add_split(x1: jax.Array, x2: jax.Array, r: jax.Array):
     return r1 + half, r2 + half
 
 
-def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array):
+def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
+                             *, r_dtype=None):
     """Forward-stash once, return (backward(r_feature) -> r_image, features).
 
     Relevance math runs in the image's floating dtype (float32 normally;
     float64 under x64 for the torch-1.4 oracle parity tests, where fp32
     forward drift amplified by near-zero LRP denominators would otherwise
-    dominate)."""
+    dominate).  ``r_dtype`` is the STORAGE dtype of the relevance map
+    between block records (arithmetic stays in ``dtype``) — bfloat16 on TPU
+    halves the walk's HBM traffic, same rationale as cnn_lrp's knob."""
     dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
              else jnp.float32)
+    if r_dtype is None:
+        r_dtype = dtype
     x = image.astype(dtype)
 
     # stem
@@ -124,7 +129,8 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array):
         r = r.astype(dtype)
         for rec in reversed(block_recs):
             p = rec["p"]
-            r_b3, r_idn = _add_split(rec["b3"], rec["idn"], r)  # relu identity
+            r_b3, r_idn = _add_split(rec["b3"], rec["idn"],
+                                     r.astype(dtype))  # relu identity
             # main path
             rm = _bn_abs_rule(p.conv3, rec["a3"], r_b3)
             (rm,) = rec["v3"](safe_divide(rm, rec["z3"]))
@@ -142,8 +148,9 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array):
                 ri = rec["x_in"] * ri
             else:
                 ri = r_idn
-            r = rm + ri
+            r = (rm + ri).astype(r_dtype)
         # stem: maxpool winner, relu identity, bn, conv
+        r = r.astype(dtype)
         (g,) = pool_vjp(safe_divide(r, pool_z))
         r = pool_in * g
         r = _bn_abs_rule(params.stem, stem_a, r)
