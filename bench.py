@@ -29,7 +29,8 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="full", choices=["smoke", "full"])
-    ap.add_argument("--model", default="gridtd", choices=["gridtd", "aoa"])
+    ap.add_argument("--model", default="gridtd",
+                    choices=["gridtd", "aoa", "adaptive"])
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--iters", type=int, default=0)
     ap.add_argument("--max-words", type=int, default=0)
