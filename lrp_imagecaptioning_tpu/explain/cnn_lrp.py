@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.encoders import ConvParams, VGG16_SPEC, VGGLayer, VGGParams, conv2d, maxpool2x2
-from .rules import safe_divide
+from .rules import Z_EPSILON, safe_divide
 
 
 def conv_alpha_beta(
@@ -167,7 +167,12 @@ def make_vgg_lrp_backward(
                     )
 
             z, vjp = jax.vjp(pos_forward, x)
-            records.append(("conv", x, z, vjp))
+            # stash the stabilized reciprocal instead of z: the per-word
+            # backward then multiplies instead of dividing (216M VPU divides
+            # per 16-word image otherwise); r * (1/z~) == safe_divide(r, z)
+            # to 1 ulp
+            zinv = 1.0 / (z + Z_EPSILON * (z == 0))
+            records.append(("conv", x, zinv, vjp))
             x = conv2d(p, x)
             nonneg = False
         elif layer.kind == "relu":
@@ -188,7 +193,8 @@ def make_vgg_lrp_backward(
                 x = z
             else:
                 z, vjp = jax.vjp(maxpool2x2, x)
-                records.append(("maxpool", x, z, vjp))
+                zinv = 1.0 / (z + Z_EPSILON * (z == 0))
+                records.append(("maxpool", x, zinv, vjp))
                 x = maxpool2x2(x)  # preserves non-negativity
 
     def backward(r_feature: jax.Array, *, down_to: int = 0) -> jax.Array:
@@ -204,7 +210,8 @@ def make_vgg_lrp_backward(
                 r = (x_in * _upsample2x(r.astype(jnp.float32))).astype(
                     r_dtype)
                 continue
-            (grad,) = vjp(safe_divide(r.astype(jnp.float32), z))
+            # z slot holds the stabilized reciprocal (see the stash loop)
+            (grad,) = vjp(r.astype(jnp.float32) * z)
             r = (x_in * grad).astype(r_dtype)
         return r.astype(jnp.float32)
 
@@ -238,16 +245,26 @@ def make_vgg_lrp_backward_split(
     def upper(r_feature: jax.Array) -> jax.Array:
         return backward(r_feature, down_to=5)
 
+    # the records stash stabilized RECIPROCALS; the kernel wants the raw
+    # pre-activations — recompute them (cheap, once per caption; the walk's
+    # unused reciprocals for these two layers are DCE'd)
+    w2 = params.convs[spec[2].param_idx].weight
+    w1 = params.convs[spec[0].param_idx].weight
+    a1 = rec[2][1]
+    img = rec[0][1]
+    z2 = conv2d(ConvParams(jnp.maximum(w2, 0.0), None), a1)
+    z1c = (conv2d(ConvParams(jnp.maximum(w1, 0.0), None),
+                  jnp.maximum(img, 0.0))
+           + conv2d(ConvParams(jnp.minimum(w1, 0.0), None),
+                    jnp.minimum(img, 0.0)))
     block1_inputs = dict(
         winner=rec[4][1][0],  # fast-pool record stores the boolean winner
-        z2=rec[2][2][0],      # conv1_2 pos-forward pre-activation
-        a1=rec[2][1][0],      # conv1_2 input = relu(z1)
-        z1c=rec[0][2][0],     # conv1_1 clamped-forward pre-activation
-        image=rec[0][1][0],   # conv1_1 input = the (normalized) image
+        z2=z2[0],             # conv1_2 pos-forward pre-activation
+        a1=a1[0],             # conv1_2 input = relu(z1)
+        z1c=z1c[0],           # conv1_1 clamped-forward pre-activation
+        image=img[0],         # conv1_1 input = the (normalized) image
     )
-    weights = (params.convs[spec[2].param_idx].weight,
-               params.convs[spec[0].param_idx].weight)  # (w2, w1)
-    return upper, block1_inputs, weights
+    return upper, block1_inputs, (w2, w1)
 
 
 def vgg_lrp_multi(

@@ -30,7 +30,7 @@ from ..models.resnet import (
     conv,
     maxpool3x3s2,
 )
-from .rules import EPSILON, safe_divide
+from .rules import EPSILON, Z_EPSILON, safe_divide
 
 
 def _conv_ab_vjp(p: ConvBN, x: jax.Array, *, nonneg: bool = False):
@@ -97,6 +97,13 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
     pool_z = maxpool3x3s2(x)
     x = pool_z
 
+    def _stab_inv(z):
+        return 1.0 / (z + Z_EPSILON * (z == 0).astype(z.dtype))
+
+    def _bn_factor(p, a):
+        xw = a * p.bn_scale
+        return safe_divide(jnp.abs(xw), jnp.abs(xw) + jnp.abs(p.bn_shift))
+
     block_recs = []
     for stage in params.layers:
         for p in stage:
@@ -116,45 +123,56 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
                 zd, vd = _conv_ab_vjp(p.downsample, x, nonneg=True)
                 ad = conv(p.downsample, x)
                 idn = bn(p.downsample, ad)
-                rec.update(zd=zd, vd=vd, ad=ad)
+                # fold the BN-abs factor with the stabilized reciprocal into
+                # ONE shared map per conv (word-independent; the per-word
+                # backward is then multiply -> vjp -> multiply, no divides)
+                rec.update(vd=vd, md=_bn_factor(p.downsample, ad)
+                           * _stab_inv(zd))
             else:
                 idn = x
-            rec.update(p=p, z1=z1, v1=v1, a1=a1, r1=r1, z2=z2, v2=v2, a2=a2,
-                       r2=r2, z3=z3, v3=v3, a3=a3, b3=b3, idn=idn)
+            # add-split factors with the half-half zero-output guard,
+            # precomputed once (the reference recomputes the ratios per word)
+            out = b3 + idn
+            zero = out == 0
+            denom = out + EPSILON * jnp.sign(out)
+            safe_den = jnp.where(zero, 1.0, denom)
+            f_b3 = jnp.where(zero, 0.0, b3 / safe_den) + 0.5 * zero
+            f_idn = jnp.where(zero, 0.0, idn / safe_den) + 0.5 * zero
+            rec.update(p=p, v1=v1, v2=v2, v3=v3, r1=r1, r2=r2,
+                       f_b3=f_b3, f_idn=f_idn,
+                       m1=_bn_factor(p.conv1, a1) * _stab_inv(z1),
+                       m2=_bn_factor(p.conv2, a2) * _stab_inv(z2),
+                       m3=_bn_factor(p.conv3, a3) * _stab_inv(z3))
             x = jax.nn.relu(b3 + idn)
             block_recs.append(rec)
     features = x
+
+    pool_zinv = _stab_inv(pool_z)
+    m_stem = _bn_factor(params.stem, stem_a) * _stab_inv(stem_z)
 
     def backward(r: jax.Array) -> jax.Array:
         r = r.astype(dtype)
         for rec in reversed(block_recs):
             p = rec["p"]
-            r_b3, r_idn = _add_split(rec["b3"], rec["idn"],
-                                     r.astype(dtype))  # relu identity
+            r = r.astype(dtype)
+            r_b3 = rec["f_b3"] * r  # relu identity, then add split
+            r_idn = rec["f_idn"] * r
             # main path
-            rm = _bn_abs_rule(p.conv3, rec["a3"], r_b3)
-            (rm,) = rec["v3"](safe_divide(rm, rec["z3"]))
-            rm = rec["r2"] * rm
-            rm = _bn_abs_rule(p.conv2, rec["a2"], rm)
-            (rm,) = rec["v2"](safe_divide(rm, rec["z2"]))
-            rm = rec["r1"] * rm
-            rm = _bn_abs_rule(p.conv1, rec["a1"], rm)
-            (rm,) = rec["v1"](safe_divide(rm, rec["z1"]))
+            (rm,) = rec["v3"](rec["m3"] * r_b3)
+            (rm,) = rec["v2"](rec["m2"] * (rec["r2"] * rm))
+            (rm,) = rec["v1"](rec["m1"] * (rec["r1"] * rm))
             rm = rec["x_in"] * rm
             # identity path
             if p.downsample is not None:
-                ri = _bn_abs_rule(p.downsample, rec["ad"], r_idn)
-                (ri,) = rec["vd"](safe_divide(ri, rec["zd"]))
+                (ri,) = rec["vd"](rec["md"] * r_idn)
                 ri = rec["x_in"] * ri
             else:
                 ri = r_idn
             r = (rm + ri).astype(r_dtype)
         # stem: maxpool winner, relu identity, bn, conv
         r = r.astype(dtype)
-        (g,) = pool_vjp(safe_divide(r, pool_z))
-        r = pool_in * g
-        r = _bn_abs_rule(params.stem, stem_a, r)
-        (g,) = stem_vjp(safe_divide(r, stem_z))
+        (g,) = pool_vjp(r * pool_zinv)
+        (g,) = stem_vjp(m_stem * (pool_in * g))
         return stem_x * g
 
     return backward, features
