@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--preset", default="full", choices=["smoke", "full"])
     ap.add_argument("--model", default="gridtd",
                     choices=["gridtd", "aoa", "adaptive"])
+    ap.add_argument("--encoder", default="vgg16",
+                    choices=["vgg16", "bu"],
+                    help="bu = bottom-up 36x2048 region features (the "
+                         "reference's train_bu path, hidden 1024) — the "
+                         "explanation stops at region relevance, no CNN walk")
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--iters", type=int, default=0)
     ap.add_argument("--max-words", type=int, default=0)
@@ -68,7 +73,10 @@ def main():
     from lrp_imagecaptioning_tpu.models.captioner import Captioner
 
     smoke = args.preset == "smoke"
-    batch = args.batch or (2 if smoke else 8)
+    # BU explanations have no CNN walk — far less work per image, so the
+    # default batch is larger to stay compute-bound
+    batch = args.batch or (2 if smoke else (64 if args.encoder == "bu"
+                                            else 8))
     # 20 iterations: the measured rate keeps rising with iters (88/95/97
     # img/s at 5/10/20 on 1xv5e) because a fixed per-run dispatch overhead
     # amortizes out; 20 is within ~1% of the steady-state asymptote and the
@@ -81,12 +89,24 @@ def main():
     word_map = build_word_map(
         [[f"w{i}"] for i in range(vocab_words)], min_word_freq=1
     )
-    cfg = ModelConfig(
-        model_type=args.model, encoder="vgg16",
-        embed_dim=64 if smoke else 512, hidden_dim=64 if smoke else 512,
-        vocab_size=len(word_map), num_pixels=(hw // 16) ** 2,
-        vocab_pad_multiple=128,
-    )
+    bu = args.encoder == "bu"
+    if bu:
+        # reference BU geometry: 36 regions x 2048, hidden 1024
+        # (train_bu.py:301 presets)
+        cfg = ModelConfig(
+            model_type=args.model, encoder="bu",
+            embed_dim=64 if smoke else 1024,
+            hidden_dim=64 if smoke else 1024,
+            vocab_size=len(word_map), num_pixels=36,
+            vocab_pad_multiple=128,
+        )
+    else:
+        cfg = ModelConfig(
+            model_type=args.model, encoder="vgg16",
+            embed_dim=64 if smoke else 512, hidden_dim=64 if smoke else 512,
+            vocab_size=len(word_map), num_pixels=(hw // 16) ** 2,
+            vocab_pad_multiple=128,
+        )
     cap = Captioner(cfg)
     params = cap.init(jax.random.PRNGKey(0))
     explainer = build_explainer("lrp", cap, params, word_map,
@@ -100,8 +120,9 @@ def main():
     rng = np.random.default_rng(0)
 
     def timed_run(core, n_images):
-        images = jnp.asarray(
-            rng.normal(size=(n_images, hw, hw, 3)).astype(np.float32))
+        shape = ((n_images, 36, cfg.bu_feat_dim) if bu
+                 else (n_images, hw, hw, 3))
+        images = jnp.asarray(rng.normal(size=shape).astype(np.float32))
         sync(core(params, images))  # compile + warmup
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -141,6 +162,8 @@ def main():
         "value": round(per_sec, 3),
         "unit": "images/s",
         "vs_baseline": round(per_sec / target_per_chip, 3),
+        "model": args.model,
+        "encoder": args.encoder,
         # normalization: every image is explained at a FIXED max_words word
         # count (the fixed-shape program does identical work regardless of
         # where beam decode emits <end>); the reference explains up to the
