@@ -385,8 +385,24 @@ class ExplanationEvaluator:
         return load_image(item["image_path"], 224, 224)[None]
 
 
+class _PrecomputedExplainer:
+    """Shim so ExplanationEvaluator can consume an explanation computed
+    elsewhere (the all-heads fast path below); every other attribute
+    delegates to the source explainer."""
+
+    def __init__(self, exp, source):
+        self._exp = exp
+        self._source = source
+
+    def explain_caption_arrays(self, image):
+        return self._exp
+
+    def __getattr__(self, name):
+        return getattr(self._source, name)
+
+
 def generate_evaluation_files_aoa_heads(
-    make_explainer,  # head_idx -> explainer
+    make_explainer,  # head_idx -> explainer, OR an AOAAllHeadsLrpExplainer
     items: list[dict],
     save_root: str,
     *,
@@ -396,7 +412,32 @@ def generate_evaluation_files_aoa_heads(
 ):
     """Per-head AoA bbox-correctness files named ``<img>_<h><type>...`` so
     :func:`..analyze.merge_multihead_bbox` can max-merge them
-    (EvaluationExperimentsAOA, evaluation.py:576-773)."""
+    (EvaluationExperimentsAOA, evaluation.py:576-773).
+
+    Pass an :class:`..explain.AOAAllHeadsLrpExplainer` instead of a factory
+    to explain EVERY head in one compiled program per image (the reference
+    re-runs beam decode + stash + CNN forward per head; the all-heads core
+    shares them — ``num_head`` x fewer compilations and decode passes)."""
+    from ..explain.explainer import AOAAllHeadsLrpExplainer
+
+    if isinstance(make_explainer, AOAAllHeadsLrpExplainer):
+        all_heads = make_explainer
+        for item in items:
+            name = os.path.basename(item["image_path"])
+            if category_dict is None or name not in category_dict:
+                continue
+            image = ExplanationEvaluator(all_heads)._load(item, None)
+            exps = all_heads.explain_caption_arrays(image)
+            for h, exp in enumerate(exps):
+                ev = ExplanationEvaluator(
+                    _PrecomputedExplainer(exp, all_heads))
+                ev.bbox_experiment(
+                    category_dict, item,
+                    os.path.join(save_root, "bbox", explanation_type),
+                    explanation_type, file_tag=f"{h}{explanation_type}",
+                    image=image,
+                )
+        return
     for h in range(num_head):
         explainer = make_explainer(h)
         ev = ExplanationEvaluator(explainer)

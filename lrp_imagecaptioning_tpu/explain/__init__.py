@@ -15,6 +15,7 @@ from .explainer import (
     AOAGradCamExplainer,
     AOAGradientExplainer,
     AOAGuidedGradientExplainer,
+    AOAAllHeadsLrpExplainer,
     AOALrpExplainer,
     CaptionExplanation,
     GridTDExplainerBase,
@@ -35,6 +36,7 @@ EXPLAINER_REGISTRY = {
     },
     "aoa": {
         "lrp": AOALrpExplainer,
+        "lrp_all_heads": AOAAllHeadsLrpExplainer,
         "gradient": AOAGradientExplainer,
         "guided_gradient": AOAGuidedGradientExplainer,
         "grad_cam": AOAGradCamExplainer,

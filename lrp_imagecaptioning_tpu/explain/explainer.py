@@ -471,6 +471,81 @@ class AOALrpExplainer(GridTDExplainerBase):
                                self._grid_seeds(word_exp))
 
 
+class AOAAllHeadsLrpExplainer(AOALrpExplainer):
+    """All attention heads explained in ONE compiled program.
+
+    The reference explains one head per full run (``explain_caption(img,
+    head_idx)``, aoamodel.py:1165) — beam decode, stash forward and the CNN
+    forward stash are recomputed ``num_head`` times.  Here the per-head
+    relevance walk is a ``vmap`` over ``head_idx`` (already a traced array
+    in the walk) sharing one beam/stash/CNN-stash; the CNN backward runs
+    over heads x words through the same chunked path.  Output arrays carry
+    a leading head axis; :meth:`explain_caption_arrays` returns one
+    CaptionExplanation per head (same caption, per-head relevances)."""
+
+    def _use_block1_kernel(self):
+        return False  # the batched block-1 split assumes per-word seeds
+
+    def _decoder_walk(self, params, feats, stash, targets):
+        from .aoa_lrp import explain_all_words as aoa_explain
+
+        return jax.vmap(
+            lambda h: aoa_explain(
+                params.decoder, feats, stash, targets=targets, head_idx=h,
+                num_head=self.cap.cfg.num_head, bu=self.cap.cfg.is_bu,
+            )
+        )(jnp.arange(self.cap.cfg.num_head))
+
+    def _cnn_stage(self, params, image, word_exp):
+        nh = self.cap.cfg.num_head
+        hw = int(np.sqrt(self.cap.cfg.num_pixels))
+        seeds = word_exp.r_img_feature.reshape(
+            nh * self.max_words, hw, hw, self.cap.raw_dim)
+        backward = self._lrp_backward_factory(params, image)
+        rel = self._map_words(lambda r: backward(r[None])[0], seeds)
+        return rel.reshape(nh, self.max_words, *rel.shape[1:])
+
+    def _map_words(self, fn, seeds):
+        # head x word axis: chunk over the flattened leading dim
+        chunk = self.cnn_word_chunk
+        n = seeds.shape[0]
+        if chunk and n > chunk and n % chunk == 0:
+            seeds_r = seeds.reshape(n // chunk, chunk, *seeds.shape[1:])
+            out = jax.lax.map(lambda s: jax.vmap(fn)(s), seeds_r)
+            return out.reshape(n, *out.shape[2:])
+        return jax.vmap(fn)(seeds)
+
+    def explain_caption_arrays(self, image):
+        """Returns a LIST of per-head CaptionExplanation (shared caption)."""
+        (tokens, length, rel_imgs, r_words, alphas, preds,
+         betas) = self._core(self.params, jnp.asarray(image))
+        tokens = np.asarray(tokens)
+        length = int(length)
+        words_ids = tokens[1:length]
+        t_count = len(words_ids)
+        if t_count and words_ids[-1] == self.word_map.end:
+            t_count -= 1
+        rev = self.word_map.id_to_word
+        caption = [rev.get(int(w), "<unk>") for w in words_ids[:t_count]]
+        rel_imgs = np.asarray(rel_imgs)
+        r_words = np.asarray(r_words)
+        alphas = np.asarray(alphas)
+        preds = np.asarray(preds)
+        betas = np.asarray(betas)
+        return [
+            CaptionExplanation(
+                caption=caption,
+                tokens=tokens[:length],
+                relevance_images=rel_imgs[h, :t_count],
+                relevance_words=r_words[h, :t_count, : t_count + 1],
+                alphas=alphas[:t_count],
+                predictions=preds[:t_count],
+                betas=betas[:t_count],
+            )
+            for h in range(self.cap.cfg.num_head)
+        ]
+
+
 class AOAGradientExplainer(AOALrpExplainer):
     """AoA plain-gradient explainer (ExplainAOAGradient, aoamodel.py:1257)."""
 

@@ -204,3 +204,38 @@ def test_aoa_explainer_end_to_end():
     assert out.relevance_images.shape == (t, 64, 64, 3)
     assert np.isfinite(out.relevance_images).all()
     assert np.abs(out.relevance_images).sum() > 0
+
+
+def test_all_heads_explainer_matches_per_head():
+    """AOAAllHeadsLrpExplainer (one compiled program, shared beam/stash)
+    must reproduce each per-head AOALrpExplainer output exactly."""
+    import numpy as np
+
+    from lrp_imagecaptioning_tpu.config import ModelConfig
+    from lrp_imagecaptioning_tpu.data.vocab import build_word_map
+    from lrp_imagecaptioning_tpu.explain import build_explainer
+    from lrp_imagecaptioning_tpu.models.captioner import Captioner
+
+    wm = build_word_map([[f"w{i}"] for i in range(25)], min_word_freq=1)
+    cfg = ModelConfig(model_type="aoa", encoder="vgg16", embed_dim=16,
+                      hidden_dim=24, num_head=2, vocab_size=len(wm),
+                      num_pixels=16)
+    cap = Captioner(cfg)
+    params = cap.init(jax.random.PRNGKey(0))
+    image = np.random.default_rng(0).normal(
+        size=(1, 64, 64, 3)).astype(np.float32)
+
+    all_exp = build_explainer("lrp_all_heads", cap, params, wm, max_words=4,
+                              cnn_word_chunk=2).explain_caption_arrays(image)
+    assert len(all_exp) == 2
+    for h in range(2):
+        one = build_explainer("lrp", cap, params, wm, max_words=4,
+                              head_idx=h,
+                              cnn_word_chunk=2).explain_caption_arrays(image)
+        assert all_exp[h].caption == one.caption
+        np.testing.assert_allclose(all_exp[h].relevance_images,
+                                   one.relevance_images, rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(all_exp[h].relevance_words,
+                                   one.relevance_words, rtol=1e-5,
+                                   atol=1e-6)

@@ -116,3 +116,52 @@ def test_count_hallucinate_words():
     assert abs(mpa - 0.25) < 1e-9
     assert abs(mrc - 0.25) < 1e-9
     assert abs(mf1 - 0.25) < 1e-9
+
+
+def test_aoa_heads_fast_path_matches_factory(tmp_path):
+    """generate_evaluation_files_aoa_heads with an AOAAllHeadsLrpExplainer
+    must write the same per-head bbox files as the per-head factory path."""
+    from lrp_imagecaptioning_tpu.evaluation.experiments import (
+        generate_evaluation_files_aoa_heads,
+    )
+
+    words = ["dog", "cat", "a", "the", "sits"] + [f"w{i}" for i in range(8)]
+    wm = build_word_map([words], min_word_freq=1)
+    cfg = ModelConfig(model_type="aoa", encoder="vgg16", embed_dim=16,
+                      hidden_dim=24, num_head=2, vocab_size=len(wm),
+                      num_pixels=16)
+    cap = Captioner(cfg)
+    params = cap.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    image = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    item = {"image_path": "toy1.jpg", "image_array": image[0],
+            "encoded_all_caps": [[wm.start, wm["dog"], wm.end, 0]]}
+    cat_dict = {"toy1.jpg": {
+        "categories": {w: str(i) for i, w in enumerate(words[:12], 1)},
+        "bbox": {str(i): [[0, 0, 100, 100]] for i in range(1, 13)},
+        "shape": (224, 224), "resize_ratio": (64 / 224, 64 / 224),
+    }}
+
+    slow_dir = tmp_path / "slow"
+    fast_dir = tmp_path / "fast"
+    generate_evaluation_files_aoa_heads(
+        lambda h: build_explainer("lrp", cap, params, wm, head_idx=h,
+                                  max_words=4, cnn_word_chunk=2),
+        [item], str(slow_dir), num_head=2, category_dict=cat_dict)
+    generate_evaluation_files_aoa_heads(
+        build_explainer("lrp_all_heads", cap, params, wm, max_words=4,
+                        cnn_word_chunk=2),
+        [item], str(fast_dir), num_head=2, category_dict=cat_dict)
+
+    slow_files = sorted(p.name for p in (slow_dir / "bbox" / "lrp").iterdir())
+    fast_files = sorted(p.name for p in (fast_dir / "bbox" / "lrp").iterdir())
+    assert slow_files == fast_files and len(slow_files) == 2
+    for name in slow_files:
+        a = json.load(open(slow_dir / "bbox" / "lrp" / name))
+        b = json.load(open(fast_dir / "bbox" / "lrp" / name))
+        assert a.keys() == b.keys()
+        for img in a:
+            for key in a[img]:
+                for th in a[img][key]:
+                    assert a[img][key][th] == pytest.approx(
+                        b[img][key][th], abs=1e-5)
