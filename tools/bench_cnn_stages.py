@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--hw", type=int, default=224)
+    ap.add_argument("--r-dtype", default="bfloat16",
+                    help="relevance storage dtype for the depth sweep "
+                         "(production TPU default bfloat16)")
     args = ap.parse_args()
 
     import jax
@@ -110,17 +113,21 @@ def main():
             pools_seen += 1
             idx[f"below_pool{pools_seen}"] = i  # records index == spec index
     depth_points = {"full": 0, **{k: v for k, v in idx.items()}}
+    r_dtype = jnp.dtype(args.r_dtype)
     for name, down_to in sorted(depth_points.items(), key=lambda kv: -kv[1]):
         def per_image(image, seed_block, down_to=down_to):
             backward, _ = cnn_lrp.make_vgg_lrp_backward(
-                params, image[None], pool_mode="fast")
+                params, image[None], pool_mode="fast", r_dtype=r_dtype)
             seeds_r = seed_block.reshape(T // chunk, chunk,
                                          *seed_block.shape[1:])
+            # reduce each word's map to a scalar so every depth point has
+            # the same (tiny) output — otherwise shallow truncations write
+            # up to 1.6 GB of diagnostics and the deltas are contaminated
             out = jax.lax.map(
                 lambda s: jax.vmap(
-                    lambda r: backward(r[None], down_to=down_to)[0])(s),
+                    lambda r: backward(r[None], down_to=down_to)[0].sum())(s),
                 seeds_r)
-            return out.reshape(T, *out.shape[2:])
+            return out.reshape(T)
 
         core = jax.jit(lambda images, seeds, f=per_image: jax.vmap(f)(
             images, seeds))
