@@ -1,31 +1,41 @@
-"""METEOR-lite: exact-match METEOR without WordNet/paraphrase tables.
+"""Pure-Python METEOR with exact + Porter-stem match stages.
 
 The reference depends on the METEOR 1.5 Java jar which is *absent* from its
 repo and degrades to 0.0 when missing (``models/metrics.py:62-67``).  We do
-strictly better: a pure-Python METEOR with the exact-match module only
-(unigram precision/recall harmonic mean, alpha=0.9, plus the chunk
-fragmentation penalty gamma=0.5, beta=3.0 — the METEOR 1.0 defaults)."""
+strictly better: unigram alignment in the standard module order — exact
+matches first, then Porter-stem matches over the leftovers (WordNet
+synonymy/paraphrase stages are omitted: no corpora in a self-contained
+build) — scored with the harmonic mean (alpha=0.9) and chunk fragmentation
+penalty (gamma=0.5, beta=3.0 — the METEOR defaults)."""
 
 from __future__ import annotations
 
 import numpy as np
 
+from .porter import porter_stem
+
 
 def _align(h: list[str], r: list[str]) -> tuple[int, int]:
-    """Greedy left-to-right exact alignment; returns (#matches, #chunks)."""
+    """Greedy left-to-right staged alignment (exact, then Porter stem);
+    returns (#matches, #chunks)."""
     used = [False] * len(r)
-    match_pos = []  # reference index per matched hypothesis token, in h order
-    for w in h:
-        best = -1
+    match_pos: list[int | None] = [None] * len(h)
+    for i, w in enumerate(h):
         for j, rw in enumerate(r):
             if not used[j] and rw == w:
-                best = j
+                used[j] = True
+                match_pos[i] = j
                 break
-        if best >= 0:
-            used[best] = True
-            match_pos.append(best)
-        else:
-            match_pos.append(None)
+    h_stem = [porter_stem(w) for w in h]
+    r_stem = [porter_stem(w) for w in r]
+    for i, ws in enumerate(h_stem):
+        if match_pos[i] is not None:
+            continue
+        for j, rs in enumerate(r_stem):
+            if not used[j] and rs == ws:
+                used[j] = True
+                match_pos[i] = j
+                break
     matches = sum(1 for p in match_pos if p is not None)
     # chunks: maximal runs of adjacent matches (contiguous in both strings)
     chunks = 0

@@ -87,3 +87,55 @@ def test_ptb_tokenizer_basics():
     assert ptb_tokenize_sentence("don't stop") == "do n't stop"
     assert ptb_tokenize_sentence("it's a (test)") == "it 's a test"
     assert ptb_tokenize_sentence("hello...") == "hello"
+
+
+def test_porter_stemmer_classic_pairs():
+    """Porter (1980) published example pairs + common forms."""
+    from lrp_imagecaptioning_tpu.metrics.porter import porter_stem
+
+    pairs = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "fizzed": "fizz", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+        "conformabli": "conform", "radicalli": "radic",
+        "differentli": "differ", "vileli": "vile", "analogousli": "analog",
+        "vietnamization": "vietnam", "predication": "predic",
+        "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope",
+        "callousness": "callous", "formaliti": "formal",
+        "sensitiviti": "sensit", "sensibiliti": "sensibl",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+        "goodness": "good", "revival": "reviv", "allowance": "allow",
+        "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt", "homologou": "homolog",
+        "communism": "commun", "activate": "activ", "angulariti": "angular",
+        "homologous": "homolog", "effective": "effect", "bowdlerize":
+        "bowdler", "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+    }
+    errs = {w: porter_stem(w) for w, s in pairs.items()
+            if porter_stem(w) != s}
+    assert not errs, errs
+
+
+def test_meteor_stem_stage_matches_inflections():
+    """Stem matching credits inflectional variants the exact stage misses."""
+    from lrp_imagecaptioning_tpu.metrics.meteor import meteor_score
+
+    exact, _ = meteor_score(["a dog runs"], [["a dog runs"]])
+    inflected, _ = meteor_score(["the dogs running"],
+                                [["the dog runs"]])
+    none, _ = meteor_score(["purple elephant"], [["the dog runs"]])
+    assert exact == pytest.approx(1.0 - 0.5 * (1 / 3) ** 3)  # 1 chunk / 3 matches
+    assert 0 < inflected  # dogs~dog, running~runs match via stems
+    assert inflected > none == 0.0
