@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--model", default="gridtd",
                     choices=["gridtd", "aoa", "adaptive"])
     ap.add_argument("--encoder", default="vgg16",
-                    choices=["vgg16", "bu"],
+                    choices=["vgg16", "resnet50", "resnet101", "bu"],
                     help="bu = bottom-up 36x2048 region features (the "
                          "reference's train_bu path, hidden 1024) — the "
                          "explanation stops at region relevance, no CNN walk")
@@ -101,10 +101,13 @@ def main():
             vocab_pad_multiple=128,
         )
     else:
+        # resnet encoders stride 32 (grid 7x7 at 224^2); vgg16 strides 16
+        px = (hw // 32 if args.encoder.startswith("resnet")
+              else hw // 16) ** 2
         cfg = ModelConfig(
-            model_type=args.model, encoder="vgg16",
+            model_type=args.model, encoder=args.encoder,
             embed_dim=64 if smoke else 512, hidden_dim=64 if smoke else 512,
-            vocab_size=len(word_map), num_pixels=(hw // 16) ** 2,
+            vocab_size=len(word_map), num_pixels=px,
             vocab_pad_multiple=128,
         )
     cap = Captioner(cfg)
