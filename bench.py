@@ -97,17 +97,15 @@ def main():
             model_type=args.model, encoder="bu",
             embed_dim=64 if smoke else 1024,
             hidden_dim=64 if smoke else 1024,
-            vocab_size=len(word_map), num_pixels=36,
+            vocab_size=len(word_map),
             vocab_pad_multiple=128,
         )
     else:
-        # resnet encoders stride 32 (grid 7x7 at 224^2); vgg16 strides 16
-        px = (hw // 32 if args.encoder.startswith("resnet")
-              else hw // 16) ** 2
+        # num_pixels derived from the encoder stride (vgg16 16, resnet 32)
         cfg = ModelConfig(
             model_type=args.model, encoder=args.encoder,
             embed_dim=64 if smoke else 512, hidden_dim=64 if smoke else 512,
-            vocab_size=len(word_map), num_pixels=px,
+            vocab_size=len(word_map), height=hw, width=hw,
             vocab_pad_multiple=128,
         )
     cap = Captioner(cfg)

@@ -28,10 +28,14 @@ def main(argv=None):
     p.add_argument("--embed-dim", type=int, default=512)
     p.add_argument("--hidden-dim", type=int, default=512)
     p.add_argument("--num-head", type=int, default=8)
+    p.add_argument("--height", type=int, default=224)
+    p.add_argument("--width", type=int, default=224)
     p.add_argument("--explainer", default="lrp",
                    choices=["lrp", "gradient", "guided_gradient", "grad_cam",
                             "guided_grad_cam"])
     p.add_argument("--head-idx", type=int, default=0, help="AoA head")
+    p.add_argument("--max-words", type=int, default=20,
+                   help="static per-word explanation budget (compiled shape)")
     p.add_argument("--dataset", default="coco2017")
     p.add_argument("--experiments", nargs="+",
                    default=["ablation", "bbox", "tpfp"])
@@ -66,7 +70,7 @@ def main(argv=None):
         model_type=args.model_type, encoder=args.encoder,
         embed_dim=args.embed_dim, hidden_dim=args.hidden_dim,
         num_head=args.num_head, vocab_size=len(word_map),
-        num_pixels=196, vocab_pad_multiple=128,
+        height=args.height, width=args.width, vocab_pad_multiple=128,
     )
     cap = Captioner(cfg)
     params = cap.init(jax.random.PRNGKey(0))
@@ -75,6 +79,7 @@ def main(argv=None):
         params = load_for_eval(args.weight,
                                trainer.init_state(jax.random.PRNGKey(0)))
     kw = {"head_idx": args.head_idx} if args.model_type == "aoa" else {}
+    kw["max_words"] = args.max_words
     explainer = build_explainer(args.explainer, cap, params, word_map, **kw)
 
     with open(args.test_json) as f:

@@ -31,6 +31,8 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=224)
     p.add_argument("--width", type=int, default=224)
     p.add_argument("--explainers", nargs="+", default=["lrp"])
+    p.add_argument("--max-words", type=int, default=20,
+                   help="static per-word explanation budget (compiled shape)")
     p.add_argument("--save-path", default="./output/explanations")
     args = p.parse_args(argv)
 
@@ -46,7 +48,6 @@ def main(argv=None):
         model_type=args.model_type, encoder=args.encoder,
         embed_dim=args.embed_dim, hidden_dim=args.hidden_dim,
         num_head=args.num_head, vocab_size=len(word_map),
-        num_pixels=(args.height // 16) * (args.width // 16),
         vocab_pad_multiple=128, height=args.height, width=args.width,
     )
     cap = Captioner(cfg)
@@ -71,6 +72,7 @@ def main(argv=None):
                 args.weight, trainer.init_state(jax.random.PRNGKey(0)))
 
     kw = {"head_idx": args.head_idx} if args.model_type == "aoa" else {}
+    kw["max_words"] = args.max_words
     for name in args.explainers:
         explainer = build_explainer(name, cap, params, word_map, **kw)
         rel_imgs, rel_words = explainer.explain_caption(

@@ -13,6 +13,33 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
+# Output-grid stride of each CNN encoder: VGG16 keeps features[:-1] (the last
+# maxpool dropped -> stride 16, 14x14 at 224^2, reference gridTDmodel.py:33-35);
+# ResNet-50/101 run the full conv stack -> stride 32 (7x7 at 224^2, reference
+# resnet.py:232-236).  The bottom-up path has no grid: always 36 regions
+# (extract_bu_features.py:24, dataloader.py:63-126).
+ENCODER_STRIDES: dict[str, int] = {"vgg16": 16, "resnet50": 32, "resnet101": 32}
+BU_NUM_REGIONS = 36
+
+
+def derive_num_pixels(encoder: str, height: int, width: int) -> int:
+    """Number of attention positions an encoder emits for an input image.
+
+    The single source of truth for the encoder-grid geometry — every CLI and
+    bench must use this (round-2 verdict: four of five entry points derived it
+    wrong for resnet/bu).
+    """
+    if encoder == "bu":
+        return BU_NUM_REGIONS
+    try:
+        stride = ENCODER_STRIDES[encoder]
+    except KeyError:
+        raise ValueError(
+            f"unknown encoder {encoder!r}; have {sorted(ENCODER_STRIDES)} + 'bu'"
+        ) from None
+    return (height // stride) * (width // stride)
+
+
 @dataclass(frozen=True)
 class ModelConfig:
     """Architecture settings (reference ``config.py:53-56,122-125,186-190``)."""
@@ -25,7 +52,9 @@ class ModelConfig:
     vocab_size: int = 0  # filled from the word map
     height: int = 224
     width: int = 224
-    num_pixels: int = 196  # 14x14 grid for CNN path, 36 for bottom-up
+    # None -> derived from encoder+height+width (derive_num_pixels); an
+    # explicit int overrides (toy tests with synthetic feature grids).
+    num_pixels: int | None = None
     bu_feat_dim: int = 2048  # bottom-up region feature dim
     # Pad the vocab-sized params (embedding rows, fc columns) to a multiple —
     # keeps the big matmul MXU-tileable and makes the vocab dim divisible by
@@ -35,6 +64,12 @@ class ModelConfig:
     # compute dtype for the CNN/matmul-heavy forward path; relevance math is
     # always float32 (SURVEY.md §7 hard-parts: fp32 discipline for LRP).
     compute_dtype: str = "float32"
+
+    def __post_init__(self) -> None:
+        if self.num_pixels is None:
+            object.__setattr__(
+                self, "num_pixels",
+                derive_num_pixels(self.encoder, self.height, self.width))
 
     @property
     def is_bu(self) -> bool:

@@ -382,7 +382,8 @@ class ExplanationEvaluator:
             return np.asarray(item["image_array"])[None]
         from ..data.dataset import load_image
 
-        return load_image(item["image_path"], 224, 224)[None]
+        cfg = self.explainer.cap.cfg
+        return load_image(item["image_path"], cfg.height, cfg.width)[None]
 
 
 class _PrecomputedExplainer:

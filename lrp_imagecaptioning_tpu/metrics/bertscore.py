@@ -22,6 +22,7 @@ locally available encoder.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Sequence
 
 DEFAULT_MODEL = "roberta-large"
@@ -64,6 +65,13 @@ def _embed(sentences: Sequence[str], tok, model, layer: int,
             enc = tok(chunk, return_tensors="pt", padding=True,
                       truncation=True)
             hidden = model(**enc, output_hidden_states=True).hidden_states
+            if layer > len(hidden) - 1:
+                # a tuned-layer request deeper than the encoder would silently
+                # score from the wrong layer — surface it (ADVICE r2)
+                warnings.warn(
+                    f"BERTSCORE_LAYER={layer} exceeds the model's "
+                    f"{len(hidden) - 1} layers; using the last layer — scores "
+                    "are NOT the tuned-layer metric.")
             layer_i = min(layer, len(hidden) - 1)
             emb = hidden[layer_i]
             emb = emb / emb.norm(dim=-1, keepdim=True).clamp_min(1e-12)

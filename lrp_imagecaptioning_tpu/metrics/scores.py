@@ -130,6 +130,11 @@ class BERT(Score):
             return float(f1.mean())
         except ImportError:
             pass
+        except Exception as e:  # package present but scoring failed (e.g. it
+            # tried to download roberta-large in a zero-egress environment) —
+            # degrade to the native/0.0 chain instead of aborting all metrics
+            warnings.warn(f"bert_score package failed ({e}); trying the "
+                          "native implementation.")
         from .bertscore import BertScoreUnavailable, bert_score_corpus
 
         try:

@@ -47,18 +47,19 @@ def main(argv=None):
     from lrp_imagecaptioning_tpu.models.captioner import Captioner
 
     if args.toy:
-        _, test_ds, word_map = toy_dataset(num_images=8, height=64, width=64)
-        cfg = ModelConfig(model_type=args.model_type, encoder="vgg16",
+        _, test_ds, word_map = toy_dataset(
+            num_images=8, height=64, width=64,
+            from_features=(args.encoder == "bu"))
+        cfg = ModelConfig(model_type=args.model_type, encoder=args.encoder,
                           embed_dim=32, hidden_dim=48, num_head=4,
-                          vocab_size=len(word_map), num_pixels=16)
+                          vocab_size=len(word_map), height=64, width=64)
     else:
         word_map = WordMap.load(args.wordmap)
         cfg = ModelConfig(
             model_type=args.model_type, encoder=args.encoder,
             embed_dim=args.embed_dim, hidden_dim=args.hidden_dim,
             num_head=args.num_head, vocab_size=len(word_map),
-            num_pixels=36 if args.encoder == "bu"
-            else (args.height // 16) * (args.width // 16),
+            height=args.height, width=args.width,
             vocab_pad_multiple=128,
         )
         test_ds = CaptionDataset.from_json(

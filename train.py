@@ -75,8 +75,6 @@ def config_from_args(args) -> "ExperimentConfig":
                 model_type=args.model_type, encoder=args.encoder,
                 embed_dim=args.embed_dim, hidden_dim=args.hidden_dim,
                 num_head=args.num_head, height=args.height, width=args.width,
-                num_pixels=36 if args.encoder == "bu"
-                else (args.height // 16) * (args.width // 16),
                 vocab_pad_multiple=128,
             ),
             train=TrainConfig(
@@ -111,12 +109,12 @@ def main(args=None):
             num_images=8, height=64, width=64,
             from_features=exp.model.is_bu,
         )
-        # shrink the model to the toy geometry (64px -> 4x4 grid; vocab from
-        # the toy word map via the Trainer)
+        # shrink the model to the toy geometry (num_pixels re-derived from the
+        # encoder stride at 64px; vocab from the toy word map via the Trainer)
         exp = exp.replace(
             model=dataclasses.replace(
                 exp.model, height=64, width=64,
-                num_pixels=36 if exp.model.is_bu else 16,
+                num_pixels=None,
                 embed_dim=min(exp.model.embed_dim, 32),
                 hidden_dim=min(exp.model.hidden_dim, 48),
                 vocab_size=0, vocab_pad_multiple=1,
