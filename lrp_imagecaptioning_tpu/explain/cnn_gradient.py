@@ -38,14 +38,12 @@ def make_vgg_guided_backward(
     """Guided-backprop backward closure sharing one forward stash (same
     amortization as make_vgg_lrp_backward).
 
-    The maxpool backward uses a winner mask ``(x == up(pool(x)))``
-    precomputed once in the stash, so each per-word backward is elementwise
-    (no per-word SelectAndScatter).  In VGG every pool directly follows a
-    ReLU, and its backward record directly precedes the relu rule that gates
-    by ``out > 0`` — so the mask's only divergence from single-winner
-    routing (all-zero windows, where the mask credits every tied zero) is
-    zeroed one step later; positive ties are measure-zero for float
-    activations."""
+    The maxpool backward uses a first-winner mask precomputed once in the
+    stash, so each per-word backward is elementwise (no per-word
+    SelectAndScatter).  ``first_winner_mask`` routes window ties to the
+    first element in scan order — exactly torch's ``max_pool2d`` backward
+    (positive ties are NOT measure-zero on real images: constant regions
+    propagate identical activations)."""
     x = image.astype(jnp.float32)
     records = []
     for layer in spec:
@@ -58,8 +56,10 @@ def make_vgg_guided_backward(
             x = jax.nn.relu(x)
             records.append(("relu", x, None))  # stash the relu OUTPUT
         elif layer.kind == "maxpool":
+            from .cnn_lrp import first_winner_mask
+
             z = maxpool2x2(x)
-            winner = (x == jnp.repeat(jnp.repeat(z, 2, axis=1), 2, axis=2))
+            winner = first_winner_mask(x)
             records.append(("maxpool_fast", winner.astype(jnp.float32), None))
             x = z
 

@@ -106,6 +106,31 @@ def _upsample2x(z: jax.Array) -> jax.Array:
     return jnp.repeat(jnp.repeat(z, 2, axis=1), 2, axis=2)
 
 
+def first_winner_mask(x: jax.Array) -> jax.Array:
+    """Boolean map marking the FIRST maximal element of each 2x2/stride-2
+    window in row-major scan order.
+
+    Exact positive ties inside a window are not measure-zero on real images
+    (constant borders, saturated regions propagate identical activations);
+    both torch's ``max_pool2d`` backward — the reference Pool2d rule,
+    lrp_modules.py:182-195 — and XLA's SelectAndScatter route the whole
+    gradient to the first tied element (probed, round 3), so the fast
+    winner-mask path must too or relevance is duplicated up to 4x per pool
+    level, breaking conservation.  Computed once per caption; the per-word
+    backward stays elementwise."""
+    b, h, w, c = x.shape
+    win = x == _upsample2x(maxpool2x2(x))
+    v = win.reshape(b, h // 2, 2, w // 2, 2, c)
+    w00, w01 = v[:, :, 0, :, 0], v[:, :, 0, :, 1]
+    w10, w11 = v[:, :, 1, :, 0], v[:, :, 1, :, 1]
+    first = jnp.stack(
+        [jnp.stack([w00, w01 & ~w00], axis=3),
+         jnp.stack([w10 & ~(w00 | w01), w11 & ~(w00 | w01 | w10)], axis=3)],
+        axis=2,
+    )
+    return first.reshape(b, h, w, c)
+
+
 def make_vgg_lrp_backward(
     params: VGGParams,
     image: jax.Array,  # (1, H, W, 3) — single image
@@ -182,13 +207,13 @@ def make_vgg_lrp_backward(
         elif layer.kind == "maxpool":
             if pool_mode == "fast":
                 z = maxpool2x2(x)
-                z_up = _upsample2x(z)
                 # pool inputs are post-ReLU (x >= 0), so the winner-take-all
                 # rule x * scatter(r/z) equals r at the window argmax and 0
                 # elsewhere (including all-zero windows, where the x factor
                 # kills the r/eps term) — one exact boolean mask, no per-word
-                # division or rounding
-                winner = ((x == z_up) & (x > 0)).astype(jnp.float32)
+                # division or rounding.  first_winner_mask replicates the
+                # reference's single-winner tie routing exactly.
+                winner = (first_winner_mask(x) & (x > 0)).astype(jnp.float32)
                 records.append(("maxpool_fast", winner, None, None))
                 x = z
             else:

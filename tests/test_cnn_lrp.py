@@ -149,6 +149,48 @@ def test_fast_pool_backward_matches_vjp(seed):
     np.testing.assert_allclose(out["fast"], out["vjp"], rtol=1e-5, atol=1e-7)
 
 
+def test_first_winner_mask_matches_torch_on_ties():
+    """Exact positive ties (constant image regions) must route relevance to
+    the single first winner per window like torch's max_pool2d backward —
+    the round-2 advisor found the old mask credited EVERY tied winner,
+    duplicating relevance up to 4x per pool level."""
+    import torch
+    import torch.nn.functional as F
+
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import first_winner_mask
+
+    rng = np.random.default_rng(0)
+    # quantized values -> plenty of exact ties, including all-tied windows
+    x = rng.integers(0, 3, (2, 8, 8, 4)).astype(np.float32)
+    got = np.asarray(first_winner_mask(jnp.asarray(x))).astype(np.float32)
+
+    xt = torch.tensor(x.transpose(0, 3, 1, 2), requires_grad=True)
+    z = F.max_pool2d(xt, 2)
+    z.backward(torch.ones_like(z))
+    want = xt.grad.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fast_pool_matches_vjp_on_tied_image():
+    """End-to-end fast-vs-vjp equality on an image engineered to produce
+    exact ties in the conv activations (piecewise-constant input)."""
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import make_vgg_lrp_backward
+    from lrp_imagecaptioning_tpu.models.encoders import init_vgg16
+
+    params = init_vgg16(jax.random.PRNGKey(7))
+    rng = np.random.default_rng(7)
+    # 8x8 constant blocks -> identical activations across interior windows
+    blocks = rng.normal(size=(1, 4, 4, 3)).astype(np.float32)
+    img = jnp.asarray(np.repeat(np.repeat(blocks, 8, axis=1), 8, axis=2))
+    seed = jax.random.normal(jax.random.PRNGKey(8), (1, 2, 2, 512))
+
+    out = {}
+    for mode in ("vjp", "fast"):
+        backward, _ = make_vgg_lrp_backward(params, img, pool_mode=mode)
+        out[mode] = np.asarray(backward(seed))
+    np.testing.assert_allclose(out["fast"], out["vjp"], rtol=1e-5, atol=1e-7)
+
+
 def test_fast_pool_zero_windows_give_zero_relevance():
     """All-zero pool windows (ubiquitous post-ReLU) must produce zero input
     relevance in the fast path, exactly like x * scatter(safe_divide(r, 0~))

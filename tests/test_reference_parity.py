@@ -47,7 +47,21 @@ def _install_stubs():
     if "skimage" not in sys.modules:
         sk = types.ModuleType("skimage")
         sk_t = types.ModuleType("skimage.transform")
-        sk_t.pyramid_expand = lambda x, **k: x
+
+        def _stub_pyramid_expand(x, upscale=2, sigma=None, **k):
+            # a REAL expansion (the repo's native pyramid): the stub stays in
+            # sys.modules for the whole pytest process, so an identity lambda
+            # here silently broke later GuidedGradCam tests (r3 ordering bug)
+            import numpy as _np
+
+            from lrp_imagecaptioning_tpu.utils.viz import _pyramid_expand
+
+            if sigma is None:
+                sigma = 2 * upscale / 6.0
+            return _pyramid_expand(_np.asarray(x, _np.float64),
+                                   int(upscale), float(sigma))
+
+        sk_t.pyramid_expand = _stub_pyramid_expand
         sk.transform = sk_t
         sys.modules["skimage"] = sk
         sys.modules["skimage.transform"] = sk_t
