@@ -81,10 +81,19 @@ class ROUGE(Score):
 
 
 class METEOR(Score):
+    """Real METEOR 1.5 when java + the jar are present ($METEOR_JAR — the
+    reference's intended capability, metrics.py:59-73), else the native
+    exact+Porter aligner (:mod:`.meteor`)."""
+
     def __init__(self):
         super().__init__("meteor")
 
     def _compute(self, hyps, refs):
+        from .meteor_jar import meteor_available, meteor_jar_score
+
+        if meteor_available():
+            avg, _ = meteor_jar_score(hyps, refs)
+            return float(avg)
         avg, _ = meteor_score(hyps, refs)
         return float(avg)
 
