@@ -85,7 +85,9 @@ def test_identical_sentences_score_perfectly():
 def test_ptb_tokenizer_basics():
     assert ptb_tokenize_sentence("A Dog, runs!") == "a dog runs"
     assert ptb_tokenize_sentence("don't stop") == "do n't stop"
-    assert ptb_tokenize_sentence("it's a (test)") == "it 's a test"
+    # brackets survive: the Java tokenizer lowercases tokens to -lrb- but the
+    # reference's removal list checks -LRB- (ptbtokenizer.py:21) — quirk kept
+    assert ptb_tokenize_sentence("it's a (test)") == "it 's a -lrb- test -rrb-"
     assert ptb_tokenize_sentence("hello...") == "hello"
 
 
