@@ -185,6 +185,37 @@ def test_build_detectron2_detector_wiring(monkeypatch, tmp_path):
     assert [c[0] for c in record["nms_calls"]] == [0.5, 0.6, 0.7]
 
 
+def test_extract_bu_features_cli(tmp_path):
+    """The root CLI shim drives create_bu_features over split-JSON image
+    paths and writes consumable 36x2048 HDF5 files (reference
+    extract_bu_features.py:24-66)."""
+    import json
+
+    import h5py
+
+    sys.path.insert(0, ".")
+    import extract_bu_features as cli
+
+    items = [{"image_path": str(tmp_path / f"img{i}.jpg")} for i in range(3)]
+    split_json = tmp_path / "train_items.json"
+    split_json.write_text(json.dumps(items + items))  # dup paths deduped
+
+    def fake_detector(path, nms_thresh):
+        rng = np.random.default_rng(abs(hash(path)) % 2**32)
+        return (rng.normal(size=(36, FEAT)).astype(np.float32),
+                rng.uniform(0, 64, size=(36, 4)).astype(np.float32))
+
+    out_dir = tmp_path / "bu"
+    written = cli.main(["--jsons", str(split_json),
+                        "--images", str(tmp_path / "extra.jpg"),
+                        "--output", str(out_dir)], detector=fake_detector)
+    assert len(written) == 4  # 3 deduped + 1 explicit
+    for path in written:
+        with h5py.File(path, "r") as f:
+            assert f["image_features"].shape == (36, FEAT)
+            assert f["image_boxes"].shape == (36, 4)
+
+
 def test_missing_detectron2_raises_importerror(monkeypatch):
     for name in list(sys.modules):
         if name.startswith("detectron2"):
