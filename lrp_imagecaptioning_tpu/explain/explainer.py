@@ -246,13 +246,18 @@ class GridTDExplainerBase:
         fused block-1 kernel is enabled, the per-image vmap stops at the
         pool-1 relevance and one batched kernel call per word chunk
         finishes the walk to pixels."""
+        return jax.jit(self._batched_core_fn())
+
+    def _batched_core_fn(self):
+        """The unjitted batched program (for batched_core and the shard_map
+        wrapper in batched_core_sharded)."""
         if not self._use_block1_kernel():
             def f(params, images):
                 return jax.vmap(
                     lambda im: self._explain_core(params, im[None])
                 )(images)
 
-            return jax.jit(f)
+            return f
 
         from ..ops.pallas_block1 import block1_lrp_backward
 
@@ -287,18 +292,39 @@ class GridTDExplainerBase:
                 rel = run(r_pool)
             return (tokens, length, rel, r_words, alpha, preds, beta)
 
-        return jax.jit(f)
+        return f
 
     def batched_core_sharded(self, mesh, *, data_axis: str = "data"):
         """Data-parallel explanation over a device mesh — the v5e-8 scaling
         path for the north-star throughput metric: images shard over the
-        batch axis, params replicate, and the per-image explanation programs
-        run SPMD with no cross-device communication."""
+        batch axis, params replicate, and each shard runs the full per-image
+        program locally under ``shard_map``, which makes the
+        zero-cross-device-communication property STRUCTURAL (under plain
+        pjit the SPMD partitioner inserts a batch all-gather around the
+        beam-search TopK custom-call; shard_map cannot — asserted on the
+        optimized HLO in tests/test_sharded_explain.py)."""
+        from jax.experimental.shard_map import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         batch_sh = NamedSharding(mesh, P(data_axis))
         rep = NamedSharding(mesh, P())
-        core = self.batched_core()
+        try:
+            # check_vma=False: decode-scan carries start as unvarying
+            # constants and become shard-varying — correct here (everything
+            # is local to the shard), but the static varying-axis checker
+            # can't see that
+            smapped = shard_map(
+                self._batched_core_fn(), mesh=mesh,
+                in_specs=(P(), P(data_axis)), out_specs=P(data_axis),
+                check_vma=False,
+            )
+        except TypeError:  # older jax spells it check_rep
+            smapped = shard_map(
+                self._batched_core_fn(), mesh=mesh,
+                in_specs=(P(), P(data_axis)), out_specs=P(data_axis),
+                check_rep=False,
+            )
+        core = jax.jit(smapped)
 
         def f(params, images):
             params = jax.tree_util.tree_map(
@@ -306,6 +332,7 @@ class GridTDExplainerBase:
             images = jax.device_put(jnp.asarray(images), batch_sh)
             return core(params, images)
 
+        f.lower = core.lower
         return f
 
     # -- public API ------------------------------------------------------

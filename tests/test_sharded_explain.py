@@ -28,3 +28,31 @@ def test_sharded_explanation_matches_single(eight_devices):
                     jax.tree_util.tree_leaves(sharded)):
         np.testing.assert_allclose(np.asarray(s), np.asarray(g),
                                    rtol=1e-4, atol=1e-5)
+
+
+COLLECTIVE_OPS = ("all-reduce", "all-gather", "all-to-all",
+                  "collective-permute", "reduce-scatter", "collective-");
+
+
+def test_sharded_explain_program_is_collective_free(eight_devices):
+    """The data-parallel explain program must contain ZERO cross-device
+    communication after SPMD partitioning — the structural basis for the
+    v5e-8 weak-scaling claim (aggregate = N x per-chip): params replicate,
+    the batch shards, and each shard computes its images entirely locally
+    (shard_map).  Asserted on the post-partitioning optimized HLO, not
+    inferred.  (Under plain pjit sharding annotations, the partitioner
+    inserts a batch all-gather around the beam TopK custom-call — the
+    shard_map formulation removes it.)"""
+    wm = build_word_map([[f"w{i}"] for i in range(25)], min_word_freq=1)
+    cfg = ModelConfig(model_type="gridtd", encoder="vgg16", embed_dim=16,
+                      hidden_dim=24, vocab_size=len(wm), num_pixels=16)
+    cap = Captioner(cfg)
+    params = cap.init(jax.random.PRNGKey(0))
+    expl = GridTDLrpExplainer(cap, params, wm, max_words=6, cnn_word_chunk=0)
+    mesh = build_mesh(MeshConfig(data_parallel=8), eight_devices)
+
+    images = np.zeros((8, 64, 64, 3), np.float32)
+    sharded = expl.batched_core_sharded(mesh)
+    hlo = sharded.lower(params, images).compile().as_text()
+    found = [op for op in COLLECTIVE_OPS if op in hlo]
+    assert not found, f"collectives in the explain program: {found}"
