@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Explanation-evaluation dress rehearsal at scale (VERDICT r2 #4).
+
+Reproduces the shape of the reference's paper pipeline
+(evaluation.py:775-1494) end-to-end on a synthetic COCO-entities corpus with
+KNOWN ground truth: images place 3 object textures at grid slots (bboxes and
+categories recorded exactly), a GridTD+VGG16 model is trained on them, then
+ALL FIVE explainer types run through the ablation / bbox-correctness / TP-FP
+experiments with attention and random controls, the offline analyzers
+aggregate, and an AoA model exercises the per-head + max-merge path via the
+all-heads fast explainer.
+
+The pass criterion mirrors the reference's reason to exist: the trained
+model's LRP bbox-correctness must beat the random-relevance control (and the
+analyzers must produce the same artifact schema the reference's do).
+
+Usage (real TPU chip):
+    python tools/evaluation_rehearsal.py --out output/rehearsal
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from synthetic_quality_cnn import build_image_corpus  # noqa: E402
+
+EXPLAINERS = ["lrp", "gradient", "guided_gradient", "grad_cam",
+              "guided_grad_cam"]
+
+
+def build_entities(val_ds, word_map, grid: int = 4):
+    """COCOvalEntities-schema dict from the synthetic items: each object word
+    is a category whose bbox is its texture's grid slot."""
+    entities = {}
+    for item in val_ds.items:
+        name = os.path.basename(item["image_path"])
+        img = np.asarray(item["image_array"])
+        h, w = img.shape[:2]
+        ph, pw = h // grid, w // grid
+        # recover object words from the first reference caption; slots from
+        # the texture energy per cell (the object cells carry the +texture)
+        specials = {word_map.pad, word_map.unk, word_map.start, word_map.end}
+        rev = word_map.id_to_word
+        tmpl = {"a", "and", "the", "with"}
+        words = [rev[int(t)] for t in item["encoded_all_caps"][0]
+                 if int(t) not in specials and rev[int(t)] not in tmpl]
+        cell_energy = np.abs(img).mean(axis=-1)
+        cell_energy = cell_energy.reshape(grid, ph, grid, pw).mean((1, 3))
+        slots = np.argsort(cell_energy.ravel())[-3:]
+        cat, bbox = {}, {}
+        # slot->word assignment is unknown from energy alone; give each
+        # object word the union of the 3 object cells (its true cell is one
+        # of them) — localization credit still requires mass in object cells
+        boxes = []
+        for s in slots:
+            r, c = divmod(int(s), grid)
+            boxes.append([c * pw, r * ph, (c + 1) * pw, (r + 1) * ph])
+        for w_str in words:
+            cid = str(word_map[w_str])
+            cat[w_str] = cid
+            bbox[cid] = boxes
+        entities[name] = {"categories": cat, "bbox": bbox,
+                          "shape": (h, w), "resize_ratio": (1.0, 1.0)}
+    return entities
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="output/rehearsal")
+    p.add_argument("--train-images", type=int, default=600)
+    p.add_argument("--eval-images", type=int, default=120)
+    p.add_argument("--num-objects", type=int, default=120)
+    p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--aoa-epochs", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--height", type=int, default=224)
+    p.add_argument("--hidden-dim", type=int, default=512)
+    p.add_argument("--embed-dim", type=int, default=512)
+    p.add_argument("--num-head", type=int, default=8)
+    p.add_argument("--max-words", type=int, default=12)
+    p.add_argument("--wordmap", default="dataset/wordmap_flickr30k.json")
+    p.add_argument("--stages", default="train,explain,aoa,analyze")
+    args = p.parse_args(argv)
+    stages = args.stages.split(",")
+
+    import jax
+
+    from lrp_imagecaptioning_tpu.config import (
+        ExperimentConfig, MeshConfig, ModelConfig, TrainConfig,
+    )
+    from lrp_imagecaptioning_tpu.data.vocab import WordMap
+    from lrp_imagecaptioning_tpu.engine.train import Trainer
+    from lrp_imagecaptioning_tpu.evaluation import (
+        analyze_ablation, analyze_bbox, analyze_tpfp,
+        generate_evaluation_files,
+    )
+    from lrp_imagecaptioning_tpu.evaluation.experiments import (
+        ExplanationEvaluator, generate_evaluation_files_aoa_heads,
+    )
+    from lrp_imagecaptioning_tpu.evaluation.analyze import (
+        merge_multihead_bbox,
+    )
+    from lrp_imagecaptioning_tpu.explain import build_explainer
+
+    word_map = WordMap.load(args.wordmap)
+    print(f"vocab={len(word_map)} devices={jax.devices()}", flush=True)
+    train_ds, val_ds = build_image_corpus(
+        word_map, num_train=args.train_images, num_val=args.eval_images,
+        height=args.height, width=args.height, num_objects=args.num_objects)
+    entities = build_entities(val_ds, word_map)
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "entities.json"), "w") as f:
+        json.dump(entities, f)
+    # frequent list = the synthetic object vocabulary (reference uses the
+    # dataset's frequent words, evaluation.py:37-41)
+    frequent = sorted({w for e in entities.values() for w in e["categories"]})
+    summary = {"config": vars(args) | {"vocab": len(word_map),
+                                       "eval_images": len(val_ds)}}
+
+    def make_model(model_type):
+        return ModelConfig(
+            model_type=model_type, encoder="vgg16",
+            embed_dim=args.embed_dim, hidden_dim=args.hidden_dim,
+            num_head=args.num_head, vocab_size=len(word_map),
+            height=args.height, width=args.height, vocab_pad_multiple=128)
+
+    def train(model_type, epochs):
+        model = make_model(model_type)
+        t = TrainConfig(batch_size=args.batch_size, epochs=epochs,
+                        max_caption_len=16, print_freq=100)
+        tr = Trainer(ExperimentConfig(model=model, train=t,
+                                      mesh=MeshConfig()), word_map)
+        t0 = time.time()
+        state, hist = tr.fit(train_ds, val_ds, validate_beam=3)
+        print(f"{model_type} trained: cider={hist[-1]['cider']:.3f} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+        return tr.captioner, state.params, hist
+
+    if "train" in stages:
+        cap, params, hist = train("gridtd", args.epochs)
+        summary["gridtd_training"] = {"final_cider": hist[-1]["cider"],
+                                      "history": hist}
+    else:
+        raise SystemExit("the rehearsal currently trains in-process; "
+                         "include 'train' in --stages")
+
+    items = val_ds.items
+    if "explain" in stages:
+        rng = np.random.default_rng(0)
+        for ex_type in EXPLAINERS:
+            expl = build_explainer(ex_type, cap, params, word_map,
+                                   max_words=args.max_words)
+            t0 = time.time()
+            generate_evaluation_files(
+                expl, items, args.out, explanation_type=ex_type,
+                frequent_list=frequent, category_dict=entities,
+                do_attention=(ex_type == "lrp"),
+                experiments=("ablation", "bbox", "tpfp"))
+            print(f"{ex_type}: evaluated {len(items)} images "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+        # random-relevance control for bbox correctness: same decode, maps
+        # replaced by noise (the reference's random ablation control
+        # analogue, applied to the bbox experiment)
+        from lrp_imagecaptioning_tpu.evaluation.experiments import (
+            _PrecomputedExplainer,
+        )
+
+        expl = build_explainer("lrp", cap, params, word_map,
+                               max_words=args.max_words)
+        ev = ExplanationEvaluator(expl)
+        bbox_dir = os.path.join(args.out, "bbox", "random")
+        for item in items:
+            name = os.path.basename(item["image_path"])
+            if name not in entities:
+                continue
+            image = ev._load(item, None)
+            exp = expl.explain_caption_arrays(image)
+            exp = exp._replace(relevance_images=rng.normal(
+                size=exp.relevance_images.shape).astype(np.float32))
+            ev2 = ExplanationEvaluator(_PrecomputedExplainer(exp, expl))
+            ev2.bbox_experiment(entities, item, bbox_dir, "random",
+                                image=image, file_tag="random")
+        print("random control: done", flush=True)
+
+    if "aoa" in stages:
+        aoa_cap, aoa_params, aoa_hist = train("aoa", args.aoa_epochs)
+        summary["aoa_training"] = {"final_cider": aoa_hist[-1]["cider"]}
+        all_heads = build_explainer("lrp_all_heads", aoa_cap, aoa_params,
+                                    word_map, max_words=args.max_words)
+        t0 = time.time()
+        aoa_root = os.path.join(args.out, "aoa")
+        generate_evaluation_files_aoa_heads(
+            all_heads, items, aoa_root,
+            num_head=args.num_head, category_dict=entities)
+        merge_multihead_bbox(aoa_root, "lrp", num_head=args.num_head)
+        merged = analyze_bbox(aoa_root, ["lrp_merge"])
+        summary["aoa_heads"] = {
+            "seconds": time.time() - t0,
+            "merged_bbox_correctness": merged,
+        }
+        print("aoa all-heads + merge: done", flush=True)
+
+    if "analyze" in stages:
+        types = EXPLAINERS + ["attention", "random"]
+        bbox = analyze_bbox(args.out, types)
+        ablation = analyze_ablation(args.out, EXPLAINERS + ["random",
+                                                            "attention"])
+        tpfp = analyze_tpfp(args.out, EXPLAINERS)
+        summary["bbox_correctness"] = bbox
+        summary["ablation"] = ablation
+        summary["tpfp_auc"] = tpfp
+        print("bbox:", json.dumps(bbox, default=float), flush=True)
+        lrp_v, rand_v = bbox.get("lrp"), bbox.get("random")
+        if lrp_v is not None and rand_v is not None:
+            summary["lrp_beats_random_bbox"] = bool(lrp_v > rand_v)
+            print(f"LRP {lrp_v:.3f} vs random {rand_v:.3f} -> "
+                  f"beats: {lrp_v > rand_v}", flush=True)
+
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2, default=float)
+    print("wrote", os.path.join(args.out, "summary.json"))
+
+
+if __name__ == "__main__":
+    main()

@@ -134,6 +134,7 @@ def main(argv=None):
     p.add_argument("--hidden-dim", type=int, default=512)
     p.add_argument("--embed-dim", type=int, default=512)
     p.add_argument("--modes", default="xe,cider,lrp,lrp_cider")
+    p.add_argument("--scst-ce-weight", type=float, default=0.2)
     p.add_argument("--wordmap", default="dataset/wordmap_flickr30k.json")
     args = p.parse_args(argv)
 
@@ -212,6 +213,13 @@ def main(argv=None):
 
     if "cider" in modes:
         finetune("cider_tune", {"cider_tune": True}, args.cider_epochs)
+    if "cider_ce" in modes:
+        # beyond-reference collapse guard (VERDICT r2 #9): pure SCST on this
+        # saturated task collapses after epoch 0 (docs/QUALITY.md); the CE
+        # anchor must keep later epochs non-degenerate at the same scale
+        finetune("cider_ce_tune",
+                 {"cider_tune": True, "scst_ce_weight": args.scst_ce_weight},
+                 args.cider_epochs)
     if "lrp" in modes:
         finetune("lrp_tune", {"lrp_tune": True}, args.lrp_epochs)
     if "lrp_cider" in modes:

@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""CNN-path training-quality evidence incl. ``finetune_encoder`` (VERDICT r2 #3).
+
+The BU-path harness (tools/synthetic_quality.py) proved the four tune modes
+at real scale; this one exercises what it could not — the conv stack inside
+the gradient step (reference train.py:95-109 fine-tunes the encoder in its
+headline workflows):
+
+  (a) GridTD+VGG16 XE at real vocab/width/224^2 with the encoder FROZEN,
+  (b) the same run with ``finetune_encoder`` from the same init — encoder
+      gradients must BUY something (higher CIDEr at the same budget),
+  (c) a ResNet-50 ``finetune_encoder`` run exercising train-mode BatchNorm —
+      running stats must move from their initialization and CIDEr must be
+      non-degenerate.
+
+Corpus: synthetic IMAGES whose captions are a deterministic function of
+pixel content — each image places 3 object textures (fixed per object word)
+at random slots of a 4x4 grid on a noise background; references name the
+objects in canonical order through 5 templates.  A frozen random CNN embeds
+distinct textures distinguishably (random features), so (a) learns; encoder
+gradients sharpen the features, so (b) should beat it.
+
+Usage (real TPU chip; ~tens of minutes):
+    python tools/synthetic_quality_cnn.py --out output/quality_cnn.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from synthetic_quality import TEMPLATES, sample_captions  # noqa: E402
+
+
+def build_image_corpus(word_map, *, num_train: int, num_val: int, height: int,
+                       width: int, num_objects: int, seed: int = 0,
+                       max_len: int = 14, grid: int = 4):
+    """Images: 3 object textures pasted at distinct random grid slots on
+    noise; captions name them in canonical (word-id) order via 5 templates."""
+    from lrp_imagecaptioning_tpu.data.dataset import CaptionDataset
+    from lrp_imagecaptioning_tpu.data.vocab import encode_caption
+
+    rng = np.random.default_rng(seed)
+    specials = {word_map.pad, word_map.unk, word_map.start, word_map.end}
+    template_words = {"a", "and", "the", "with"}
+    candidates = [w for w, i in word_map.word_to_id.items()
+                  if i not in specials and w not in template_words]
+    obj_words = list(rng.choice(candidates, size=num_objects, replace=False))
+    ph, pw = height // grid, width // grid
+    # fixed texture per object: a distinct base color + frozen noise pattern
+    obj_tex = {w: (rng.uniform(-1.5, 1.5, size=(1, 1, 3)).astype(np.float32)
+                   + 0.5 * rng.normal(size=(ph, pw, 3)).astype(np.float32))
+               for w in obj_words}
+
+    def make_items(n, offset):
+        img_rng = np.random.default_rng(seed + 1 + offset)
+        train_items, eval_items = [], []
+        for i in range(n):
+            objs = sorted(
+                img_rng.choice(obj_words, size=3, replace=False),
+                key=lambda w: word_map[w],
+            )
+            img = 0.1 * img_rng.normal(size=(height, width, 3)).astype(
+                np.float32)
+            slots = img_rng.choice(grid * grid, size=3, replace=False)
+            for w, s in zip(objs, slots):
+                r, c = divmod(int(s), grid)
+                img[r * ph:(r + 1) * ph, c * pw:(c + 1) * pw] += obj_tex[w]
+            caps = [t.format(*objs).split(" ") for t in TEMPLATES]
+            encs, lens = zip(*(encode_caption(c, word_map, max_len)
+                               for c in caps))
+            base = {
+                "image_path": f"synth_{offset}_{i}.jpg",
+                "image_array": img,
+                "encoded_all_caps": [list(e) for e in encs],
+            }
+            for e, ln in zip(encs, lens):
+                train_items.append({**base, "encoded_cap": list(e),
+                                    "caption_len": int(ln)})
+            eval_items.append({**base, "caption_len": [int(x) for x in lens]})
+        return train_items, eval_items
+
+    train_items, _ = make_items(num_train, 0)
+    _, val_items = make_items(num_val, 10_000_000)
+    kw = dict(height=height, width=width, seed=seed)
+    return (CaptionDataset(train_items, "train", **kw),
+            CaptionDataset(val_items, "val", **kw))
+
+
+def bn_stat_drift(enc_a, enc_b) -> float:
+    """Mean |delta| of ResNet BN running stats between two encoder trees."""
+    import jax
+
+    def stats(enc):
+        leaves = []
+        def walk(cbn):
+            if cbn is not None and cbn.mean is not None:
+                leaves.append(np.asarray(cbn.mean))
+                leaves.append(np.asarray(cbn.var))
+        walk(enc.stem)
+        for stage in enc.layers:
+            for blk in stage:
+                walk(blk.conv1); walk(blk.conv2); walk(blk.conv3)
+                walk(blk.downsample)
+        return leaves
+
+    a, b = stats(enc_a), stats(enc_b)
+    return float(np.mean([np.abs(x - y).mean() for x, y in zip(a, b)]))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="output/quality_cnn.json")
+    p.add_argument("--train-images", type=int, default=1000)
+    p.add_argument("--val-images", type=int, default=100)
+    p.add_argument("--num-objects", type=int, default=400)
+    p.add_argument("--epochs", type=int, default=4)
+    p.add_argument("--resnet-epochs", type=int, default=2)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--height", type=int, default=224)
+    p.add_argument("--hidden-dim", type=int, default=512)
+    p.add_argument("--embed-dim", type=int, default=512)
+    p.add_argument("--wordmap", default="dataset/wordmap_flickr30k.json")
+    p.add_argument("--runs", default="frozen,finetune,resnet")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from lrp_imagecaptioning_tpu.config import (
+        ExperimentConfig, MeshConfig, ModelConfig, TrainConfig,
+    )
+    from lrp_imagecaptioning_tpu.data.vocab import WordMap
+    from lrp_imagecaptioning_tpu.engine.train import Trainer
+
+    word_map = WordMap.load(args.wordmap)
+    print(f"vocab={len(word_map)} devices={jax.devices()}", flush=True)
+    train_ds, val_ds = build_image_corpus(
+        word_map, num_train=args.train_images, num_val=args.val_images,
+        height=args.height, width=args.height,
+        num_objects=args.num_objects,
+    )
+    print(f"corpus: {len(train_ds)} train pairs, {len(val_ds)} val images",
+          flush=True)
+    results = {"config": vars(args) | {"vocab": len(word_map)}}
+    runs = args.runs.split(",")
+
+    def run(name, encoder, finetune, epochs):
+        model = ModelConfig(
+            model_type="gridtd", encoder=encoder,
+            embed_dim=args.embed_dim, hidden_dim=args.hidden_dim,
+            vocab_size=len(word_map), height=args.height, width=args.height,
+            vocab_pad_multiple=128,
+        )
+        t = TrainConfig(batch_size=args.batch_size, epochs=epochs,
+                        max_caption_len=16, print_freq=100,
+                        finetune_encoder=finetune)
+        tr = Trainer(ExperimentConfig(model=model, train=t,
+                                      mesh=MeshConfig()), word_map)
+        st0 = tr.init_state(jax.random.PRNGKey(0))
+        init_encoder = st0.params.encoder
+        t0 = time.time()
+        st, hist = tr.fit(train_ds, val_ds, state=st0, validate_beam=3)
+        entry = {
+            "encoder": encoder, "finetune_encoder": finetune,
+            "history": hist,
+            "final_cider": hist[-1]["cider"],
+            "best_cider": max(h["cider"] for h in hist),
+            "seconds": time.time() - t0,
+            "samples": sample_captions(tr, st, val_ds),
+        }
+        if encoder.startswith("resnet"):
+            entry["bn_stat_drift"] = bn_stat_drift(init_encoder,
+                                                   st.params.encoder)
+        results[name] = entry
+        print(name + ":", json.dumps(
+            {k: entry[k] for k in ("final_cider", "best_cider", "seconds")}),
+            flush=True)
+        return entry
+
+    if "frozen" in runs:
+        run("vgg16_frozen", "vgg16", False, args.epochs)
+    if "finetune" in runs:
+        run("vgg16_finetune", "vgg16", True, args.epochs)
+    if "resnet" in runs:
+        run("resnet50_finetune", "resnet50", True, args.resnet_epochs)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
