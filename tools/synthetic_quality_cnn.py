@@ -94,25 +94,29 @@ def build_image_corpus(word_map, *, num_train: int, num_val: int, height: int,
             CaptionDataset(val_items, "val", **kw))
 
 
-def bn_stat_drift(enc_a, enc_b) -> float:
-    """Mean |delta| of ResNet BN running stats between two encoder trees."""
-    import jax
+def bn_stats_host(enc) -> list[np.ndarray]:
+    """Host-side copies of every BN running stat (call BEFORE training: the
+    jitted steps donate the state, deleting the original device buffers)."""
+    leaves = []
 
-    def stats(enc):
-        leaves = []
-        def walk(cbn):
-            if cbn is not None and cbn.mean is not None:
-                leaves.append(np.asarray(cbn.mean))
-                leaves.append(np.asarray(cbn.var))
-        walk(enc.stem)
-        for stage in enc.layers:
-            for blk in stage:
-                walk(blk.conv1); walk(blk.conv2); walk(blk.conv3)
-                walk(blk.downsample)
-        return leaves
+    def walk(cbn):
+        if cbn is not None and cbn.mean is not None:
+            leaves.append(np.array(cbn.mean))
+            leaves.append(np.array(cbn.var))
 
-    a, b = stats(enc_a), stats(enc_b)
-    return float(np.mean([np.abs(x - y).mean() for x, y in zip(a, b)]))
+    walk(enc.stem)
+    for stage in enc.layers:
+        for blk in stage:
+            walk(blk.conv1); walk(blk.conv2); walk(blk.conv3)
+            walk(blk.downsample)
+    return leaves
+
+
+def bn_stat_drift(init_stats: list[np.ndarray], enc_b) -> float:
+    """Mean |delta| of ResNet BN running stats vs the snapshotted init."""
+    b = bn_stats_host(enc_b)
+    return float(np.mean([np.abs(x - y).mean()
+                          for x, y in zip(init_stats, b)]))
 
 
 def main(argv=None):
@@ -164,7 +168,8 @@ def main(argv=None):
         tr = Trainer(ExperimentConfig(model=model, train=t,
                                       mesh=MeshConfig()), word_map)
         st0 = tr.init_state(jax.random.PRNGKey(0))
-        init_encoder = st0.params.encoder
+        init_bn = (bn_stats_host(st0.params.encoder)
+                   if encoder.startswith("resnet") else None)
         t0 = time.time()
         st, hist = tr.fit(train_ds, val_ds, state=st0, validate_beam=3)
         entry = {
@@ -176,7 +181,7 @@ def main(argv=None):
             "samples": sample_captions(tr, st, val_ds),
         }
         if encoder.startswith("resnet"):
-            entry["bn_stat_drift"] = bn_stat_drift(init_encoder,
+            entry["bn_stat_drift"] = bn_stat_drift(init_bn,
                                                    st.params.encoder)
         results[name] = entry
         print(name + ":", json.dumps(
