@@ -54,13 +54,13 @@ def make_vgg_guided_backward(
             x = conv2d(p, x)
         elif layer.kind == "relu":
             x = jax.nn.relu(x)
-            records.append(("relu", x, None))  # stash the relu OUTPUT
+            # stash the GATE (out > 0) as bool — 1-byte per-word reads, exact
+            records.append(("relu", x > 0, None))
         elif layer.kind == "maxpool":
             from .cnn_lrp import first_winner_mask
 
             z = maxpool2x2(x)
-            winner = first_winner_mask(x)
-            records.append(("maxpool_fast", winner.astype(jnp.float32), None))
+            records.append(("maxpool_fast", first_winner_mask(x), None))
             x = z
 
     def backward(g: jax.Array) -> jax.Array:
@@ -69,15 +69,16 @@ def make_vgg_guided_backward(
         bf16 internally, so bf16 storage halves HBM traffic at the error
         scale already present)."""
         g = g.astype(jnp.float32)
-        for kind, out, vjp in reversed(records):
+        for kind, gate, vjp in reversed(records):
             if kind == "relu":
                 # guided rule: positive grads, gated by positive activations
-                g = (jnp.maximum(g.astype(jnp.float32), 0.0)
-                     * (out > 0)).astype(g_dtype)
+                g = jnp.where(gate,
+                              jnp.maximum(g.astype(jnp.float32), 0.0),
+                              0.0).astype(g_dtype)
             elif kind == "maxpool_fast":
-                g = (out * jnp.repeat(jnp.repeat(
-                    g.astype(jnp.float32), 2, axis=1), 2, axis=2)
-                ).astype(g_dtype)
+                g = jnp.where(gate, jnp.repeat(jnp.repeat(
+                    g.astype(jnp.float32), 2, axis=1), 2, axis=2),
+                    0.0).astype(g_dtype)
             else:
                 (g,) = vjp(g.astype(jnp.float32))
         return g.astype(jnp.float32)

@@ -138,6 +138,7 @@ def make_vgg_lrp_backward(
     spec: tuple[VGGLayer, ...] = VGG16_SPEC,
     pool_mode: str = "fast",
     r_dtype=jnp.float32,
+    stash_dtype=None,
 ):
     """Amortized per-caption CNN LRP: run the forward (and each rule's
     clamped-weight forward) ONCE, capture the per-layer vjp closures — which
@@ -167,7 +168,15 @@ def make_vgg_lrp_backward(
     every matmul-precision setting, and max-rel ~7e-3 vs the CPU f32 walk
     with f32 storage), so bf16 storage adds error of the same order that
     the hardware already injects.  CPU/parity paths keep the f32 default.
+
+    ``stash_dtype`` is the STORAGE dtype of the shared per-caption stash
+    maps (x_in and the stabilized reciprocals) — stashed once but READ per
+    word, so they are the other half of the walk's HBM traffic.  Defaults
+    to ``r_dtype`` (bf16 on TPU via the explainer auto-default, f32 on
+    CPU/parity paths).  Winner masks are always stored as bool (1 byte,
+    exact).
     """
+    stash_dtype = r_dtype if stash_dtype is None else stash_dtype
     x = image.astype(jnp.float32)
     records = []  # (kind, x_in, z_rule, vjp)
     nonneg = False  # is the current activation provably >= 0 (post-relu)?
@@ -197,7 +206,8 @@ def make_vgg_lrp_backward(
             # per 16-word image otherwise); r * (1/z~) == safe_divide(r, z)
             # to 1 ulp
             zinv = 1.0 / (z + Z_EPSILON * (z == 0))
-            records.append(("conv", x, zinv, vjp))
+            records.append(("conv", x.astype(stash_dtype),
+                            zinv.astype(stash_dtype), vjp))
             x = conv2d(p, x)
             nonneg = False
         elif layer.kind == "relu":
@@ -213,7 +223,7 @@ def make_vgg_lrp_backward(
                 # kills the r/eps term) — one exact boolean mask, no per-word
                 # division or rounding.  first_winner_mask replicates the
                 # reference's single-winner tie routing exactly.
-                winner = (first_winner_mask(x) & (x > 0)).astype(jnp.float32)
+                winner = first_winner_mask(x) & (x > 0)  # bool: 1-byte reads
                 records.append(("maxpool_fast", winner, None, None))
                 x = z
             else:
@@ -232,12 +242,12 @@ def make_vgg_lrp_backward(
             if kind == "relu":
                 continue
             if kind == "maxpool_fast":
-                r = (x_in * _upsample2x(r.astype(jnp.float32))).astype(
-                    r_dtype)
+                r = jnp.where(x_in, _upsample2x(r.astype(jnp.float32)),
+                              0.0).astype(r_dtype)
                 continue
             # z slot holds the stabilized reciprocal (see the stash loop)
-            (grad,) = vjp(r.astype(jnp.float32) * z)
-            r = (x_in * grad).astype(r_dtype)
+            (grad,) = vjp(r.astype(jnp.float32) * z.astype(jnp.float32))
+            r = (x_in.astype(jnp.float32) * grad).astype(r_dtype)
         return r.astype(jnp.float32)
 
     backward.records = records  # exposed for the split walk below
@@ -275,15 +285,15 @@ def make_vgg_lrp_backward_split(
     # unused reciprocals for these two layers are DCE'd)
     w2 = params.convs[spec[2].param_idx].weight
     w1 = params.convs[spec[0].param_idx].weight
-    a1 = rec[2][1]
-    img = rec[0][1]
+    a1 = rec[2][1].astype(jnp.float32)
+    img = rec[0][1].astype(jnp.float32)
     z2 = conv2d(ConvParams(jnp.maximum(w2, 0.0), None), a1)
     z1c = (conv2d(ConvParams(jnp.maximum(w1, 0.0), None),
                   jnp.maximum(img, 0.0))
            + conv2d(ConvParams(jnp.minimum(w1, 0.0), None),
                     jnp.minimum(img, 0.0)))
     block1_inputs = dict(
-        winner=rec[4][1][0],  # fast-pool record stores the boolean winner
+        winner=rec[4][1][0].astype(jnp.float32),  # kernel consumes f32 mask
         z2=z2[0],             # conv1_2 pos-forward pre-activation
         a1=a1[0],             # conv1_2 input = relu(z1)
         z1c=z1c[0],           # conv1_1 clamped-forward pre-activation

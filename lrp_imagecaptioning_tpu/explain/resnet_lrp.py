@@ -71,7 +71,7 @@ def _add_split(x1: jax.Array, x2: jax.Array, r: jax.Array):
 
 
 def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
-                             *, r_dtype=None):
+                             *, r_dtype=None, stash_dtype=None):
     """Forward-stash once, return (backward(r_feature) -> r_image, features).
 
     Relevance math runs in the image's floating dtype (float32 normally;
@@ -79,11 +79,17 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
     forward drift amplified by near-zero LRP denominators would otherwise
     dominate).  ``r_dtype`` is the STORAGE dtype of the relevance map
     between block records (arithmetic stays in ``dtype``) — bfloat16 on TPU
-    halves the walk's HBM traffic, same rationale as cnn_lrp's knob."""
+    halves the walk's HBM traffic, same rationale as cnn_lrp's knob.
+    ``stash_dtype`` (default: ``r_dtype``) is the storage dtype of the
+    shared per-caption factor maps (x_in, folded BN-abs*zinv, add-split
+    ratios, relu outputs) — stashed once, read per word; arithmetic
+    promotes back to ``dtype`` at the point of use."""
     dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
              else jnp.float32)
     if r_dtype is None:
         r_dtype = dtype
+    if stash_dtype is None:
+        stash_dtype = r_dtype
     x = image.astype(dtype)
 
     # stem
@@ -104,10 +110,13 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
         xw = a * p.bn_scale
         return safe_divide(jnp.abs(xw), jnp.abs(xw) + jnp.abs(p.bn_shift))
 
+    def _st(m):
+        return m.astype(stash_dtype)
+
     block_recs = []
     for stage in params.layers:
         for p in stage:
-            rec = {"x_in": x}
+            rec = {"x_in": _st(x)}
             # every conv input here is post-relu (block inputs come out of a
             # relu; stem output passed through relu+maxpool) -> nonneg
             z1, v1 = _conv_ab_vjp(p.conv1, x, nonneg=True)
@@ -126,8 +135,8 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
                 # fold the BN-abs factor with the stabilized reciprocal into
                 # ONE shared map per conv (word-independent; the per-word
                 # backward is then multiply -> vjp -> multiply, no divides)
-                rec.update(vd=vd, md=_bn_factor(p.downsample, ad)
-                           * _stab_inv(zd))
+                rec.update(vd=vd, md=_st(_bn_factor(p.downsample, ad)
+                                         * _stab_inv(zd)))
             else:
                 idn = x
             # add-split factors with the half-half zero-output guard,
@@ -138,17 +147,19 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
             safe_den = jnp.where(zero, 1.0, denom)
             f_b3 = jnp.where(zero, 0.0, b3 / safe_den) + 0.5 * zero
             f_idn = jnp.where(zero, 0.0, idn / safe_den) + 0.5 * zero
-            rec.update(p=p, v1=v1, v2=v2, v3=v3, r1=r1, r2=r2,
-                       f_b3=f_b3, f_idn=f_idn,
-                       m1=_bn_factor(p.conv1, a1) * _stab_inv(z1),
-                       m2=_bn_factor(p.conv2, a2) * _stab_inv(z2),
-                       m3=_bn_factor(p.conv3, a3) * _stab_inv(z3))
+            rec.update(p=p, v1=v1, v2=v2, v3=v3, r1=_st(r1), r2=_st(r2),
+                       f_b3=_st(f_b3), f_idn=_st(f_idn),
+                       m1=_st(_bn_factor(p.conv1, a1) * _stab_inv(z1)),
+                       m2=_st(_bn_factor(p.conv2, a2) * _stab_inv(z2)),
+                       m3=_st(_bn_factor(p.conv3, a3) * _stab_inv(z3)))
             x = jax.nn.relu(b3 + idn)
             block_recs.append(rec)
     features = x
 
-    pool_zinv = _stab_inv(pool_z)
-    m_stem = _bn_factor(params.stem, stem_a) * _stab_inv(stem_z)
+    pool_zinv = _st(_stab_inv(pool_z))
+    m_stem = _st(_bn_factor(params.stem, stem_a) * _stab_inv(stem_z))
+    pool_in_s = _st(pool_in)
+    stem_x_s = _st(stem_x)
 
     def backward(r: jax.Array) -> jax.Array:
         r = r.astype(dtype)
@@ -171,9 +182,9 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
             r = (rm + ri).astype(r_dtype)
         # stem: maxpool winner, relu identity, bn, conv
         r = r.astype(dtype)
-        (g,) = pool_vjp(r * pool_zinv)
-        (g,) = stem_vjp(m_stem * (pool_in * g))
-        return stem_x * g
+        (g,) = pool_vjp((r * pool_zinv).astype(dtype))
+        (g,) = stem_vjp((m_stem * (pool_in_s * g)).astype(dtype))
+        return stem_x_s.astype(dtype) * g
 
     return backward, features
 
