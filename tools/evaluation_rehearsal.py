@@ -82,7 +82,12 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--aoa-epochs", type=int, default=4)
     p.add_argument("--batch-size", type=int, default=16)
-    p.add_argument("--height", type=int, default=224)
+    p.add_argument("--height", type=int, default=64,
+                   help="64 -> 4x4 attention grid, one cell per object "
+                        "texture (sharp localization ground truth)")
+    p.add_argument("--finetune-encoder", action="store_true", default=True)
+    p.add_argument("--no-finetune-encoder", dest="finetune_encoder",
+                   action="store_false")
     p.add_argument("--hidden-dim", type=int, default=512)
     p.add_argument("--embed-dim", type=int, default=512)
     p.add_argument("--num-head", type=int, default=8)
@@ -136,7 +141,8 @@ def main(argv=None):
     def train(model_type, epochs):
         model = make_model(model_type)
         t = TrainConfig(batch_size=args.batch_size, epochs=epochs,
-                        max_caption_len=16, print_freq=100)
+                        max_caption_len=16, print_freq=100,
+                        finetune_encoder=args.finetune_encoder)
         tr = Trainer(ExperimentConfig(model=model, train=t,
                                       mesh=MeshConfig()), word_map)
         t0 = time.time()
