@@ -80,16 +80,20 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
     dominate).  ``r_dtype`` is the STORAGE dtype of the relevance map
     between block records (arithmetic stays in ``dtype``) — bfloat16 on TPU
     halves the walk's HBM traffic, same rationale as cnn_lrp's knob.
-    ``stash_dtype`` (default: ``r_dtype``) is the storage dtype of the
-    shared per-caption factor maps (x_in, folded BN-abs*zinv, add-split
-    ratios, relu outputs) — stashed once, read per word; arithmetic
-    promotes back to ``dtype`` at the point of use."""
+    ``stash_dtype`` is the storage dtype of the shared per-caption factor
+    maps (x_in, folded BN-abs*zinv, add-split ratios, relu outputs) —
+    stashed once, read per word; arithmetic promotes back to ``dtype`` at
+    the point of use.  Default: the compute ``dtype`` (NOT ``r_dtype``) —
+    measured on v5e, bf16 stash is ~3% SLOWER for this walk (91.9 vs 89.3
+    img/s walk-only A/B): beyond the stem the maps are <=56² so the walk is
+    not HBM-bound and the cast overhead wins; the opposite of the VGG walk,
+    where bf16 stash bought +21% end to end."""
     dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
              else jnp.float32)
     if r_dtype is None:
         r_dtype = dtype
     if stash_dtype is None:
-        stash_dtype = r_dtype
+        stash_dtype = dtype
     x = image.astype(dtype)
 
     # stem
