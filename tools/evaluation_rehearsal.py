@@ -216,8 +216,13 @@ def main(argv=None):
         print("aoa all-heads + merge: done", flush=True)
 
     if "analyze" in stages:
+        def tolist(d):
+            return {k: (np.asarray(v).tolist()
+                        if isinstance(v, (np.ndarray, list)) else v)
+                    for k, v in d.items()}
+
         types = EXPLAINERS + ["attention", "random"]
-        bbox = analyze_bbox(args.out, types)
+        bbox = tolist(analyze_bbox(args.out, types))
         ablation = analyze_ablation(args.out, EXPLAINERS + ["random",
                                                             "attention"])
         tpfp = analyze_tpfp(args.out, EXPLAINERS)
@@ -225,11 +230,13 @@ def main(argv=None):
         summary["ablation"] = ablation
         summary["tpfp_auc"] = tpfp
         print("bbox:", json.dumps(bbox, default=float), flush=True)
-        lrp_v, rand_v = bbox.get("lrp"), bbox.get("random")
-        if lrp_v is not None and rand_v is not None:
+        # headline comparison at threshold 0 (positive-mass-in-bbox)
+        lrp_v = np.mean(bbox.get("lrp", np.nan))
+        rand_v = np.mean(bbox.get("random", np.nan))
+        if np.isfinite(lrp_v) and np.isfinite(rand_v):
             summary["lrp_beats_random_bbox"] = bool(lrp_v > rand_v)
-            print(f"LRP {lrp_v:.3f} vs random {rand_v:.3f} -> "
-                  f"beats: {lrp_v > rand_v}", flush=True)
+            print(f"LRP mean correctness {lrp_v:.3f} vs random {rand_v:.3f} "
+                  f"-> beats: {lrp_v > rand_v}", flush=True)
 
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2, default=float)
