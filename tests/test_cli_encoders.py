@@ -144,3 +144,29 @@ def test_evaluation_cli(encoder, eight_devices, toy_artifacts, tmp_path):
     ])
     out = tmp_path / "out" / "bbox" / "lrp"
     assert list(out.iterdir())
+
+
+def test_evaluation_cli_bu(eight_devices, toy_artifacts, tmp_path):
+    """--encoder bu at the evaluation CLI (round-2 verdict: the hardcoded
+    num_pixels=196 also broke the bu flag, which needs 36).  BU items carry
+    region-feature arrays; the tpfp experiment needs no image geometry."""
+    import evaluation
+
+    wm_path, _, wm = toy_artifacts
+    rng = np.random.default_rng(0)
+    cap = [wm.start, wm["dog"], wm["sits"], wm.end, 0]
+    items = [{"image_path": "bu0.jpg",
+              "image_array": rng.normal(size=(36, 2048)).astype(
+                  np.float32).tolist(),
+              "encoded_all_caps": [cap]}]
+    test_json = tmp_path / "items.json"
+    test_json.write_text(json.dumps(items))
+    evaluation.main([
+        "--wordmap", wm_path, "--test-json", str(test_json),
+        "--model-type", "gridtd", "--encoder", "bu",
+        "--embed-dim", "16", "--hidden-dim", "24", "--max-words", "4",
+        "--explainer", "lrp", "--experiments", "tpfp",
+        "--save-path", str(tmp_path / "out"),
+    ])
+    out = tmp_path / "out" / "tpfp" / "lrp"
+    assert list(out.iterdir())
