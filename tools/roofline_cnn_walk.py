@@ -57,16 +57,16 @@ def analytic_blocks(hw: int):
             bytes_maps=0.0, bytes_weights=0.0, flops=0.0))
         if kind == "conv":
             h_out = r  # VGG convs are SAME padding, stride 1
-            # read r_in bf16 + zinv f32 at (h_out, co); read x_in f32 and
-            # write r_out bf16 at (r, ci)
-            b["bytes_maps"] += h_out * h_out * co * (2 + 4) \
-                + r * r * ci * (4 + 2)
+            # production storage after round 3: r_in bf16 + zinv bf16 at
+            # (h_out, co); x_in bf16 read and r_out bf16 write at (r, ci)
+            b["bytes_maps"] += h_out * h_out * co * (2 + 2) \
+                + r * r * ci * (2 + 2)
             b["bytes_weights"] += 3 * 3 * ci * co * 4
             b["flops"] += 2.0 * h_out * h_out * co * 9 * ci
         elif kind == "maxpool":
-            # read winner f32 at input res (r, ci) + read r bf16 at output
+            # read winner BOOL at input res (r, ci) + read r bf16 at output
             # res + write r bf16 at input res
-            b["bytes_maps"] += r * r * ci * (4 + 2) + (r // 2) ** 2 * ci * 2
+            b["bytes_maps"] += r * r * ci * (1 + 2) + (r // 2) ** 2 * ci * 2
             block_id -= 1
     return blocks
 
