@@ -139,6 +139,7 @@ def make_vgg_lrp_backward(
     pool_mode: str = "fast",
     r_dtype=jnp.float32,
     stash_dtype=None,
+    fuse_stash: bool | None = None,
 ):
     """Amortized per-caption CNN LRP: run the forward (and each rule's
     clamped-weight forward) ONCE, capture the per-layer vjp closures — which
@@ -177,8 +178,21 @@ def make_vgg_lrp_backward(
     exact).
     """
     stash_dtype = r_dtype if stash_dtype is None else stash_dtype
+    # Fused-map path (opt-in, measured SLOWER): adjacent per-caption
+    # multipliers in the walk — x_in of conv k and zinv of the conv visited
+    # next, or a pool winner and the zinv below it — multiply the same
+    # tensor with no conv between, so they collapse into ONE precomputed
+    # product map (30 -> ~17 per-word map reads on paper).  Measured on v5e
+    # it LOSES: 111.0 vs 129.0 img/s end-to-end — XLA already fuses the
+    # sequential multiplies into the conv-grad operands, so the "saved"
+    # passes were free, while the product maps break that operand fusion
+    # and add per-caption build work.  Default OFF; kept for reproduction
+    # (fuse_stash=True) and as the recorded negative result.
+    if fuse_stash is None:
+        fuse_stash = False
     x = image.astype(jnp.float32)
     records = []  # (kind, x_in, z_rule, vjp)
+    f32_records = []  # same, pre-cast (fusion builds f32 products)
     nonneg = False  # is the current activation provably >= 0 (post-relu)?
     for layer in spec:
         if layer.kind == "conv":
@@ -208,10 +222,12 @@ def make_vgg_lrp_backward(
             zinv = 1.0 / (z + Z_EPSILON * (z == 0))
             records.append(("conv", x.astype(stash_dtype),
                             zinv.astype(stash_dtype), vjp))
+            f32_records.append(("conv", x, zinv, vjp))
             x = conv2d(p, x)
             nonneg = False
         elif layer.kind == "relu":
             records.append(("relu", x, None, None))
+            f32_records.append(("relu", None, None, None))
             x = jax.nn.relu(x)
             nonneg = True
         elif layer.kind == "maxpool":
@@ -225,18 +241,50 @@ def make_vgg_lrp_backward(
                 # reference's single-winner tie routing exactly.
                 winner = first_winner_mask(x) & (x > 0)  # bool: 1-byte reads
                 records.append(("maxpool_fast", winner, None, None))
+                f32_records.append(("maxpool_fast", winner, None, None))
                 x = z
             else:
                 z, vjp = jax.vjp(maxpool2x2, x)
                 zinv = 1.0 / (z + Z_EPSILON * (z == 0))
                 records.append(("maxpool", x, zinv, vjp))
+                f32_records.append(("maxpool", x, zinv, vjp))
                 x = maxpool2x2(x)  # preserves non-negativity
+
+    fused_ops = None
+    if fuse_stash and pool_mode == "fast":
+        fused_ops = []  # ("mul", map) | ("vjp", fn) | ("up", None)
+        pending = None  # f32 multiplier awaiting fusion at current resolution
+        for kind, x_in, z, vjp in reversed(f32_records):
+            if kind == "relu":
+                continue
+            if kind == "conv":
+                m = z if pending is None else pending * z
+                fused_ops.append(("mul", m.astype(stash_dtype)))
+                fused_ops.append(("vjp", vjp))
+                pending = x_in
+            else:  # maxpool_fast: x_in holds the boolean winner
+                if pending is not None:
+                    fused_ops.append(("mul", pending.astype(stash_dtype)))
+                fused_ops.append(("up", None))
+                pending = x_in  # bool; fuses into the next conv's zinv
+        if pending is not None:
+            fused_ops.append(("mul", pending.astype(stash_dtype)))
 
     def backward(r_feature: jax.Array, *, down_to: int = 0) -> jax.Array:
         """Walk relevance from the feature grid down to record index
         ``down_to`` (0 = all the way to input pixels; record index == spec
         index — used by the block-1 kernel split and the depth diagnostics
         in tools/bench_cnn_stages.py)."""
+        if down_to == 0 and fused_ops is not None:
+            r = r_feature.astype(jnp.float32)
+            for kind, arr in fused_ops:
+                if kind == "mul":
+                    r = (r * arr.astype(jnp.float32)).astype(r_dtype)
+                elif kind == "up":
+                    r = _upsample2x(r.astype(jnp.float32))
+                else:  # vjp
+                    (r,) = arr(r.astype(jnp.float32))
+            return r.astype(jnp.float32)
         r = r_feature.astype(jnp.float32)
         for kind, x_in, z, vjp in reversed(records[down_to:]):
             if kind == "relu":
