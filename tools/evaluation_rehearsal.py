@@ -37,15 +37,30 @@ EXPLAINERS = ["lrp", "gradient", "guided_gradient", "grad_cam",
               "guided_grad_cam"]
 
 
-def build_entities(val_ds, word_map, grid: int = 4):
+def build_entities(val_ds, word_map, grid: int = 4, exact: bool = False):
     """COCOvalEntities-schema dict from the synthetic items: each object word
-    is a category whose bbox is its texture's grid slot."""
+    is a category whose bbox is its texture's grid slot.
+
+    ``exact=True`` uses the generator-recorded slot->word assignment
+    (``item["objects"]``) to give every word its OWN single cell; the default
+    keeps the legacy union-of-3-cells boxes (energy inference can't tell the
+    cells apart, and the committed round-3 rehearsal artifact used it)."""
     entities = {}
     for item in val_ds.items:
         name = os.path.basename(item["image_path"])
         img = np.asarray(item["image_array"])
         h, w = img.shape[:2]
         ph, pw = h // grid, w // grid
+        if exact and "objects" in item:
+            cat, bbox = {}, {}
+            for w_str, s in item["objects"]:
+                r, c = divmod(int(s), grid)
+                cid = str(word_map[w_str])
+                cat[w_str] = cid
+                bbox[cid] = [[c * pw, r * ph, (c + 1) * pw, (r + 1) * ph]]
+            entities[name] = {"categories": cat, "bbox": bbox,
+                              "shape": (h, w), "resize_ratio": (1.0, 1.0)}
+            continue
         # recover object words from the first reference caption; slots from
         # the texture energy per cell (the object cells carry the +texture)
         specials = {word_map.pad, word_map.unk, word_map.start, word_map.end}
@@ -94,6 +109,10 @@ def main(argv=None):
     p.add_argument("--max-words", type=int, default=12)
     p.add_argument("--wordmap", default="dataset/wordmap_flickr30k.json")
     p.add_argument("--stages", default="train,explain,aoa,analyze")
+    p.add_argument("--sharp", action="store_true",
+                   help="solid-color fully-learnable corpus (the model "
+                        "converges, see synthetic_quality_cnn --runs sharp) "
+                        "+ generator-exact per-word single-cell bboxes")
     args = p.parse_args(argv)
     stages = args.stages.split(",")
 
@@ -120,8 +139,9 @@ def main(argv=None):
     print(f"vocab={len(word_map)} devices={jax.devices()}", flush=True)
     train_ds, val_ds = build_image_corpus(
         word_map, num_train=args.train_images, num_val=args.eval_images,
-        height=args.height, width=args.height, num_objects=args.num_objects)
-    entities = build_entities(val_ds, word_map)
+        height=args.height, width=args.height, num_objects=args.num_objects,
+        sharp=args.sharp)
+    entities = build_entities(val_ds, word_map, exact=args.sharp)
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "entities.json"), "w") as f:
         json.dump(entities, f)

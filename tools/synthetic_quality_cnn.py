@@ -41,9 +41,17 @@ from synthetic_quality import TEMPLATES, sample_captions  # noqa: E402
 
 def build_image_corpus(word_map, *, num_train: int, num_val: int, height: int,
                        width: int, num_objects: int, seed: int = 0,
-                       max_len: int = 14, grid: int = 4):
+                       max_len: int = 14, grid: int = 4, sharp: bool = False):
     """Images: 3 object textures pasted at distinct random grid slots on
-    noise; captions name them in canonical (word-id) order via 5 templates."""
+    noise; captions name them in canonical (word-id) order via 5 templates.
+
+    ``sharp=True`` is the fully-learnable variant (absolute-quality
+    convergence evidence): solid maximally-separated hue-wheel colors on a
+    clean background instead of noisy textures on noise — the task stays the
+    same (name 3 objects from pixels in canonical order) but nothing bounds
+    token accuracy below 100%."""
+    import colorsys
+
     from lrp_imagecaptioning_tpu.data.dataset import CaptionDataset
     from lrp_imagecaptioning_tpu.data.vocab import encode_caption
 
@@ -54,10 +62,23 @@ def build_image_corpus(word_map, *, num_train: int, num_val: int, height: int,
                   if i not in specials and w not in template_words]
     obj_words = list(rng.choice(candidates, size=num_objects, replace=False))
     ph, pw = height // grid, width // grid
-    # fixed texture per object: a distinct base color + frozen noise pattern
-    obj_tex = {w: (rng.uniform(-1.5, 1.5, size=(1, 1, 3)).astype(np.float32)
-                   + 0.5 * rng.normal(size=(ph, pw, 3)).astype(np.float32))
-               for w in obj_words}
+    if sharp:
+        # solid, maximally-separated colors: evenly spaced hues at two
+        # value levels, mapped onto the normalized-image scale
+        obj_tex = {}
+        for k, w in enumerate(obj_words):
+            rgb = colorsys.hsv_to_rgb((k % num_objects) / num_objects, 1.0,
+                                      1.0 if k % 2 == 0 else 0.55)
+            obj_tex[w] = (3.0 * np.asarray(rgb, dtype=np.float32)
+                          - 1.5).reshape(1, 1, 3) * np.ones(
+                              (ph, pw, 3), dtype=np.float32)
+    else:
+        # fixed texture per object: distinct base color + frozen noise
+        obj_tex = {w: (rng.uniform(-1.5, 1.5, size=(1, 1, 3))
+                       .astype(np.float32)
+                       + 0.5 * rng.normal(size=(ph, pw, 3)).astype(np.float32))
+                   for w in obj_words}
+    bg_scale = 0.0 if sharp else 0.1
 
     def make_items(n, offset):
         img_rng = np.random.default_rng(seed + 1 + offset)
@@ -67,7 +88,7 @@ def build_image_corpus(word_map, *, num_train: int, num_val: int, height: int,
                 img_rng.choice(obj_words, size=3, replace=False),
                 key=lambda w: word_map[w],
             )
-            img = 0.1 * img_rng.normal(size=(height, width, 3)).astype(
+            img = bg_scale * img_rng.normal(size=(height, width, 3)).astype(
                 np.float32)
             slots = img_rng.choice(grid * grid, size=3, replace=False)
             for w, s in zip(objs, slots):
@@ -80,6 +101,11 @@ def build_image_corpus(word_map, *, num_train: int, num_val: int, height: int,
                 "image_path": f"synth_{offset}_{i}.jpg",
                 "image_array": img,
                 "encoded_all_caps": [list(e) for e in encs],
+                # ground truth for localization eval: which word sits in
+                # which grid slot (the generator knows; inferring it back
+                # from pixel energy can only assign the UNION of cells)
+                "objects": [[w, int(s)] for w, s in zip(objs, slots)],
+                "grid": grid,
             }
             for e, ln in zip(encs, lens):
                 train_items.append({**base, "encoded_cap": list(e),
@@ -119,6 +145,65 @@ def bn_stat_drift(init_stats: list[np.ndarray], enc_b) -> float:
                           for x, y in zip(init_stats, b)]))
 
 
+def convergence_stats(trainer, state, ds) -> dict:
+    """Absolute-convergence diagnostics on the val split (beam-3 decode):
+
+    - ``exact_match``: caption string equals one reference verbatim,
+    - ``object_recall`` / ``object_precision``: ground-truth object words
+      (``item["objects"]``) vs non-template words in the prediction,
+    - ``objects_all_correct``: all 3 objects named, nothing else,
+    - ``order_ok_given_correct``: canonical (word-id) order among those.
+
+    CIDEr alone is hard to read on 5-template references; these separate
+    "recognizes the objects" from "phrases them like a template"."""
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.data.vocab import decode_to_words
+
+    cap = trainer.captioner
+    template_words = {"a", "and", "the", "with"}
+    by_name = {os.path.basename(it["image_path"]): it for it in ds.items}
+    n = {"exact": 0, "rec": 0.0, "prec": 0.0, "allc": 0, "order": 0,
+         "total": 0}
+    for eb in ds.eval_batches(trainer.tcfg.batch_size):
+        feats = cap.encode(state.params, jnp.asarray(eb.images))
+        res = cap.beam_search_batch(state.params, feats, trainer.word_map,
+                                    beam_size=3, max_cap_length=14)
+        toks = np.asarray(res.tokens)
+        lens = np.asarray(res.length)
+        all_caps = np.asarray(eb.all_captions)
+        for j in range(len(eb.filenames)):
+            if not eb.valid[j]:
+                continue
+            words = decode_to_words(toks[j][: lens[j]], trainer.word_map)
+            pred = " ".join(words)
+            refs = {" ".join(decode_to_words(enc, trainer.word_map))
+                    for enc in all_caps[j]}
+            n["exact"] += pred in refs
+            n["total"] += 1
+            item = by_name.get(eb.filenames[j])
+            if item is None or "objects" not in item:
+                continue
+            gt = [w for w, _ in item["objects"]]
+            pred_objs = [w for w in words if w not in template_words]
+            inter = len(set(gt) & set(pred_objs))
+            n["rec"] += inter / len(gt)
+            n["prec"] += inter / max(len(set(pred_objs)), 1)
+            allc = set(gt) == set(pred_objs) and len(pred_objs) == 3
+            n["allc"] += allc
+            if allc:
+                n["order"] += pred_objs == sorted(
+                    gt, key=lambda w: trainer.word_map[w])
+    t = max(n["total"], 1)
+    return {
+        "exact_match": n["exact"] / t,
+        "object_recall": n["rec"] / t,
+        "object_precision": n["prec"] / t,
+        "objects_all_correct": n["allc"] / t,
+        "order_ok_given_correct": n["order"] / max(n["allc"], 1),
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="output/quality_cnn.json")
@@ -133,6 +218,10 @@ def main(argv=None):
     p.add_argument("--embed-dim", type=int, default=512)
     p.add_argument("--wordmap", default="dataset/wordmap_flickr30k.json")
     p.add_argument("--runs", default="frozen,finetune,resnet")
+    p.add_argument("--sharp-epochs", type=int, default=30)
+    p.add_argument("--sharp-objects", type=int, default=24)
+    p.add_argument("--sharp-height", type=int, default=64)
+    p.add_argument("--sharp-train-images", type=int, default=800)
     args = p.parse_args(argv)
 
     import jax
@@ -145,21 +234,26 @@ def main(argv=None):
 
     word_map = WordMap.load(args.wordmap)
     print(f"vocab={len(word_map)} devices={jax.devices()}", flush=True)
-    train_ds, val_ds = build_image_corpus(
-        word_map, num_train=args.train_images, num_val=args.val_images,
-        height=args.height, width=args.height,
-        num_objects=args.num_objects,
-    )
-    print(f"corpus: {len(train_ds)} train pairs, {len(val_ds)} val images",
-          flush=True)
     results = {"config": vars(args) | {"vocab": len(word_map)}}
     runs = args.runs.split(",")
 
-    def run(name, encoder, finetune, epochs):
+    train_ds = val_ds = None
+    if {"frozen", "finetune", "resnet"} & set(runs):
+        train_ds, val_ds = build_image_corpus(
+            word_map, num_train=args.train_images, num_val=args.val_images,
+            height=args.height, width=args.height,
+            num_objects=args.num_objects,
+        )
+        print(f"corpus: {len(train_ds)} train pairs, {len(val_ds)} val "
+              "images", flush=True)
+
+    def run(name, encoder, finetune, epochs, train_ds, val_ds,
+            height=None, exact_match=False):
+        height = height or args.height
         model = ModelConfig(
             model_type="gridtd", encoder=encoder,
             embed_dim=args.embed_dim, hidden_dim=args.hidden_dim,
-            vocab_size=len(word_map), height=args.height, width=args.height,
+            vocab_size=len(word_map), height=height, width=height,
             vocab_pad_multiple=128,
         )
         t = TrainConfig(batch_size=args.batch_size, epochs=epochs,
@@ -183,18 +277,38 @@ def main(argv=None):
         if encoder.startswith("resnet"):
             entry["bn_stat_drift"] = bn_stat_drift(init_bn,
                                                    st.params.encoder)
+        if exact_match:
+            entry.update(convergence_stats(tr, st, val_ds))
         results[name] = entry
         print(name + ":", json.dumps(
-            {k: entry[k] for k in ("final_cider", "best_cider", "seconds")}),
+            {k: entry[k] for k in entry
+             if k in ("final_cider", "best_cider", "seconds", "exact_match",
+                      "object_recall", "object_precision",
+                      "objects_all_correct", "order_ok_given_correct")}),
             flush=True)
         return entry
 
     if "frozen" in runs:
-        run("vgg16_frozen", "vgg16", False, args.epochs)
+        run("vgg16_frozen", "vgg16", False, args.epochs, train_ds, val_ds)
     if "finetune" in runs:
-        run("vgg16_finetune", "vgg16", True, args.epochs)
+        run("vgg16_finetune", "vgg16", True, args.epochs, train_ds, val_ds)
     if "resnet" in runs:
-        run("resnet50_finetune", "resnet50", True, args.resnet_epochs)
+        run("resnet50_finetune", "resnet50", True, args.resnet_epochs,
+            train_ds, val_ds)
+    if "sharp" in runs:
+        # absolute-quality convergence: solid-color few-object corpus where
+        # nothing bounds token accuracy; expect near-saturated CIDEr and a
+        # high verbatim exact-match rate
+        sharp_tr, sharp_val = build_image_corpus(
+            word_map, num_train=args.sharp_train_images,
+            num_val=args.val_images, height=args.sharp_height,
+            width=args.sharp_height, num_objects=args.sharp_objects,
+            sharp=True,
+        )
+        print(f"sharp corpus: {len(sharp_tr)} train pairs, "
+              f"{len(sharp_val)} val images", flush=True)
+        run("vgg16_sharp_finetune", "vgg16", True, args.sharp_epochs,
+            sharp_tr, sharp_val, height=args.sharp_height, exact_match=True)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
