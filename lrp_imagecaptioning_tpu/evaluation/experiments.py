@@ -76,7 +76,8 @@ class ExplanationEvaluator:
     EvaluationExperimentsAOA, evaluation.py:44,576)."""
 
     def __init__(self, explainer, *, patch_size: int = 8,
-                 num_delete_patches: int = 20, seed: int = 0):
+                 num_delete_patches: int = 20, seed: int = 0,
+                 object_list: list[str] | None = None):
         self.explainer = explainer
         self.cap = explainer.cap
         self.word_map = explainer.word_map
@@ -86,6 +87,15 @@ class ExplanationEvaluator:
         self.rng = random.Random(seed)
         self._tf_fn = None
         self._beam_fn = None
+        # which words count as objects for the image-ablation branch: the
+        # reference hardcodes its COCO-ish OBJECT_WORDS (evaluation.py:19-34,
+        # matching its datasets); synthetic corpora pass their own vocabulary
+        # or the experiment silently records zero image-ablation events
+        if object_list is not None:
+            vocab = set(object_list)
+            self._is_object = lambda w: w in vocab
+        else:
+            self._is_object = is_object_word
 
     # -- jitted helpers --------------------------------------------------
     def _teacherforce_scores(self, image: np.ndarray, prefix: list[int]):
@@ -184,7 +194,7 @@ class ExplanationEvaluator:
 
         for t, word_str in enumerate(exp.caption):
             word_t = int(exp.tokens[t + 1])
-            obj = is_object_word(word_str)
+            obj = self._is_object(word_str)
             if t >= 1 and obj:
                 orig = softmax_score(exp.predictions[t], word_t)
 
@@ -460,11 +470,12 @@ def generate_evaluation_files(
     category_dict: dict | None = None,
     do_attention: bool = False,
     experiments: tuple[str, ...] = ("ablation", "bbox", "tpfp"),
+    object_list: list[str] | None = None,
 ):
     """Per-test-image driver (generate_evaluation_files, evaluation.py:775-866)."""
     from .wordlists import coco_frequent
 
-    ev = ExplanationEvaluator(explainer)
+    ev = ExplanationEvaluator(explainer, object_list=object_list)
     freq = frequent_list or coco_frequent
     for item in items:
         if "ablation" in experiments:

@@ -67,6 +67,35 @@ def test_ablation_experiment(setup, tmp_path):
     assert any("ablation.json" in f.name for f in files)
 
 
+def test_ablation_object_list_override(setup, tmp_path):
+    """Synthetic corpora must be able to supply their own object vocabulary:
+    the reference's hardcoded OBJECT_WORDS (evaluation.py:19-34) matches its
+    COCO/Flickr data, so words outside it silently record zero image-ablation
+    events (bit the sharp rehearsal run)."""
+    explainer, wm, item, image = setup
+    # whatever caption the toy model produces, treat every decoded word as
+    # an object -> the image-ablation branch must fire for each t >= 1
+    exp = explainer.explain_caption_arrays(image)
+    decoded = [w for w in exp.caption]
+    if len(decoded) < 2:
+        pytest.skip("toy model produced a <2-word caption")
+    ev = ExplanationEvaluator(explainer, object_list=decoded)
+    res = ev.ablation_experiment(item, "lrp", str(tmp_path), image=image)
+    img_dis, img_cat = (res["image_ablation"][0]["stop_words"],
+                        res["image_ablation"][1]["category_words"])
+    n_obj_positions = sum(1 for t, w in enumerate(decoded)
+                          if t >= 1 and w in set(decoded))
+    assert len(img_dis) + len(img_cat) == n_obj_positions
+    # default evaluator with fantasy words records nothing
+    ev0 = ExplanationEvaluator(explainer)
+    if not any(w in decoded for w in ("dog", "cat", "man", "woman",
+                                      "street", "field")):
+        res0 = ev0.ablation_experiment(item, "lrp", str(tmp_path),
+                                       image=image)
+        assert not res0["image_ablation"][0]["stop_words"]
+        assert not res0["image_ablation"][1]["category_words"]
+
+
 def test_bbox_experiment(setup, tmp_path):
     explainer, wm, item, image = setup
     cat_dict = {"toy0.jpg": {

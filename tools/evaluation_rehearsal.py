@@ -37,6 +37,14 @@ EXPLAINERS = ["lrp", "gradient", "guided_gradient", "grad_cam",
               "guided_grad_cam"]
 
 
+def _json_default(o):
+    """np arrays -> lists, np scalars -> floats (default=float chokes on
+    multi-element arrays — bit the aoa merged-bbox entry)."""
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    return float(o)
+
+
 def build_entities(val_ds, word_map, grid: int = 4, exact: bool = False):
     """COCOvalEntities-schema dict from the synthetic items: each object word
     is a category whose bbox is its texture's grid slot.
@@ -190,7 +198,8 @@ def main(argv=None):
                 expl, items, args.out, explanation_type=ex_type,
                 frequent_list=frequent, category_dict=entities,
                 do_attention=(ex_type == "lrp"),
-                experiments=("ablation", "bbox", "tpfp"))
+                experiments=("ablation", "bbox", "tpfp"),
+                object_list=frequent)
             print(f"{ex_type}: evaluated {len(items)} images "
                   f"({time.time()-t0:.0f}s)", flush=True)
         # random-relevance control for bbox correctness: same decode, maps
@@ -259,7 +268,7 @@ def main(argv=None):
                   f"-> beats: {lrp_v > rand_v}", flush=True)
 
     with open(os.path.join(args.out, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=2, default=float)
+        json.dump(summary, f, indent=2, default=_json_default)
     print("wrote", os.path.join(args.out, "summary.json"))
 
 
