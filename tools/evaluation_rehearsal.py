@@ -156,8 +156,18 @@ def main(argv=None):
     # frequent list = the synthetic object vocabulary (reference uses the
     # dataset's frequent words, evaluation.py:37-41)
     frequent = sorted({w for e in entities.values() for w in e["categories"]})
-    summary = {"config": vars(args) | {"vocab": len(word_map),
-                                       "eval_images": len(val_ds)}}
+    # merge into an existing summary so follow-up stage runs (e.g.
+    # --stages adaptive into a finished rehearsal dir) augment it
+    summary_path = os.path.join(args.out, "summary.json")
+    summary = {}
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            summary = json.load(f)
+    cfg_rec = vars(args) | {"vocab": len(word_map),
+                            "eval_images": len(val_ds)}
+    if summary.get("config", cfg_rec) != cfg_rec:
+        summary.setdefault("followup_configs", []).append(cfg_rec)
+    summary.setdefault("config", cfg_rec)
 
     def make_model(model_type):
         return ModelConfig(
@@ -183,9 +193,9 @@ def main(argv=None):
         cap, params, hist = train("gridtd", args.epochs)
         summary["gridtd_training"] = {"final_cider": hist[-1]["cider"],
                                       "history": hist}
-    else:
-        raise SystemExit("the rehearsal currently trains in-process; "
-                         "include 'train' in --stages")
+    elif "explain" in stages:
+        raise SystemExit("the rehearsal trains in-process; the 'explain' "
+                         "stage needs 'train' in --stages")
 
     items = val_ds.items
     if "explain" in stages:
@@ -225,6 +235,54 @@ def main(argv=None):
             ev2.bbox_experiment(entities, item, bbox_dir, "random",
                                 image=image, file_tag="random")
         print("random control: done", flush=True)
+
+    if "adaptive" in stages:
+        # third family at scale: AdaptiveAttention (sentinel-gated attention,
+        # adaptiveattention.py:101) through the same experiments + controls
+        from lrp_imagecaptioning_tpu.evaluation.experiments import (
+            _PrecomputedExplainer,
+        )
+
+        ad_cap, ad_params, ad_hist = train("adaptive", args.epochs)
+        ad_root = os.path.join(args.out, "adaptive")
+        rng = np.random.default_rng(1)
+        for ex_type in EXPLAINERS:
+            expl = build_explainer(ex_type, ad_cap, ad_params, word_map,
+                                   max_words=args.max_words)
+            t0 = time.time()
+            generate_evaluation_files(
+                expl, items, ad_root, explanation_type=ex_type,
+                frequent_list=frequent, category_dict=entities,
+                do_attention=(ex_type == "lrp"),
+                experiments=("ablation", "bbox", "tpfp"),
+                object_list=frequent)
+            print(f"adaptive/{ex_type}: evaluated {len(items)} images "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+        expl = build_explainer("lrp", ad_cap, ad_params, word_map,
+                               max_words=args.max_words)
+        ev = ExplanationEvaluator(expl)
+        bbox_dir = os.path.join(ad_root, "bbox", "random")
+        for item in items:
+            name = os.path.basename(item["image_path"])
+            if name not in entities:
+                continue
+            image = ev._load(item, None)
+            exp = expl.explain_caption_arrays(image)
+            exp = exp._replace(relevance_images=rng.normal(
+                size=exp.relevance_images.shape).astype(np.float32))
+            ev2 = ExplanationEvaluator(_PrecomputedExplainer(exp, expl))
+            ev2.bbox_experiment(entities, item, bbox_dir, "random",
+                                image=image, file_tag="random")
+        types = EXPLAINERS + ["attention", "random"]
+        summary["adaptive"] = {
+            "final_cider": ad_hist[-1]["cider"],
+            "bbox_correctness": analyze_bbox(ad_root, types),
+            "ablation": analyze_ablation(ad_root, types),
+            "tpfp_auc": analyze_tpfp(ad_root, EXPLAINERS),
+        }
+        print("adaptive bbox:",
+              json.dumps(summary["adaptive"]["bbox_correctness"],
+                         default=_json_default), flush=True)
 
     if "aoa" in stages:
         aoa_cap, aoa_params, aoa_hist = train("aoa", args.aoa_epochs)
@@ -267,9 +325,9 @@ def main(argv=None):
             print(f"LRP mean correctness {lrp_v:.3f} vs random {rand_v:.3f} "
                   f"-> beats: {lrp_v > rand_v}", flush=True)
 
-    with open(os.path.join(args.out, "summary.json"), "w") as f:
+    with open(summary_path, "w") as f:
         json.dump(summary, f, indent=2, default=_json_default)
-    print("wrote", os.path.join(args.out, "summary.json"))
+    print("wrote", summary_path)
 
 
 if __name__ == "__main__":
