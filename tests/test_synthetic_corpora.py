@@ -1,0 +1,152 @@
+"""Invariants of the synthetic quality/hallucination corpora (tools/).
+
+The quality evidence in docs/QUALITY.md rests on these generators; the
+hallucination experiment (tools/synthetic_hallucination.py) additionally
+depends on structural guarantees — the cue/target co-occurrence bias in
+training, cue-without-target composition of the OOD split, and the faint
+target textures — which these tests pin down without any training.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, ".")  # repo-root CLIs
+sys.path.insert(0, "tools")
+
+from lrp_imagecaptioning_tpu.data.vocab import WordMap  # noqa: E402
+
+WORDMAP = os.path.join(os.path.dirname(__file__), "..", "dataset",
+                       "wordmap_flickr30k.json")
+
+
+@pytest.fixture(scope="module")
+def word_map():
+    return WordMap.load(WORDMAP)
+
+
+@pytest.fixture(scope="module")
+def biased(word_map):
+    from synthetic_hallucination import build_biased_corpus
+
+    return build_biased_corpus(
+        word_map, num_train=60, num_val=30, num_per_pair=5, height=64,
+        num_objects=12, num_pairs=4, faint=0.2, bias_frac=0.6)
+
+
+def objset(item):
+    return {w for w, _ in item["objects"]}
+
+
+def test_biased_corpus_group_partition(biased, word_map):
+    *_, groups = biased
+    cues, targets, free = (set(groups[k]) for k in ("cues", "targets",
+                                                    "free"))
+    assert len(cues) == len(targets) == len(free) == 4
+    assert not (cues & targets or cues & free or targets & free)
+
+
+def test_train_cue_never_without_target(biased):
+    train_ds, *_, groups = biased
+    pair_of = dict(zip(groups["cues"], groups["targets"]))
+    cue_seen = 0
+    for item in train_ds.items:
+        objs = objset(item)
+        for cue in objs & set(groups["cues"]):
+            cue_seen += 1
+            assert pair_of[cue] in objs, (
+                "training must never show a cue without its target — that "
+                "co-occurrence prior is the experiment's premise")
+    assert cue_seen > 0  # the biased branch actually fired
+
+
+def test_halluc_split_shows_cue_without_target(biased):
+    *_, halluc_ds, groups = biased
+    assert len(halluc_ds.items) == 4 * 5
+    for item in halluc_ds.items:
+        cue, target = item["bias_pair"]
+        objs = objset(item)
+        assert cue in objs and target not in objs
+        assert cue in groups["cues"] and target in groups["targets"]
+        # distractors come from the unbiased pool: no other cue appears
+        assert len(objs & set(groups["cues"])) == 1
+
+
+def test_faint_targets_are_scaled(biased, word_map):
+    train_ds, *_, groups = biased
+    # locate one target-object cell and one vivid-object cell and compare
+    # pixel magnitudes: targets carry the --faint factor
+    def cell_max(item, word):
+        grid = item["grid"]
+        ph = item["image_array"].shape[0] // grid
+        slot = dict((w, s) for w, s in item["objects"])[word]
+        r, c = divmod(slot, grid)
+        return np.abs(item["image_array"][r * ph:(r + 1) * ph,
+                                          c * ph:(c + 1) * ph]).max()
+
+    target_max, vivid_max = [], []
+    for item in train_ds.items:
+        for w in objset(item):
+            (target_max if w in set(groups["targets"]) else
+             vivid_max).append(cell_max(item, w))
+    assert max(target_max) <= 0.2 * 1.5 + 1e-6
+    assert max(vivid_max) > 1.0
+
+
+def test_references_name_objects_in_canonical_order(biased, word_map):
+    train_ds, *_ = biased
+    item = train_ds.items[0]
+    ids = [word_map[w] for w, _ in item["objects"]]
+    assert ids == sorted(ids)
+    # every reference contains the object ids in that order
+    for enc in item["encoded_all_caps"]:
+        obj_pos = [enc.index(i) for i in ids]
+        assert obj_pos == sorted(obj_pos)
+
+
+def test_grounding_stats_math(biased, word_map):
+    """grounding_stats on hand-made predictions (no model): one hallucinated
+    target of two, one missed cue, one extra word on the normal split."""
+    from synthetic_hallucination import grounding_stats
+
+    _, val_ds, halluc_ds, groups = biased
+
+    class FakeTrainer:
+        class tcfg:
+            batch_size = 8
+        word_map = word_map
+        captioner = None
+
+    h0, h1 = halluc_ds.items[0], halluc_ds.items[1]
+    n0 = val_ds.items[0]
+    preds = {}
+    # h0: names cue + the ABSENT target -> hallucination, cue recalled
+    preds[os.path.basename(h0["image_path"])] = [h0["bias_pair"][0],
+                                                 h0["bias_pair"][1]]
+    # h1: names neither -> no hallucination, cue missed
+    preds[os.path.basename(h1["image_path"])] = ["a"]
+    # n0: perfect objects + one absent vivid word
+    extra = next(w for w in groups["free"] if w not in objset(n0))
+    preds[os.path.basename(n0["image_path"])] = (
+        sorted(objset(n0), key=lambda w: word_map[w]) + [extra])
+
+    import synthetic_hallucination as sh
+    real_decode = sh.decode_predictions
+    sh.decode_predictions = lambda tr, st, ds: {
+        k: v for k, v in preds.items()
+        if any(os.path.basename(i["image_path"]) == k for i in ds.items)}
+    try:
+        limited_halluc = type(halluc_ds)(
+            [h0, h1], "val", height=64, width=64, seed=0)
+        limited_val = type(val_ds)([n0], "val", height=64, width=64, seed=0)
+        stats = sh.grounding_stats(FakeTrainer(), None, limited_val,
+                                   limited_halluc, groups)
+    finally:
+        sh.decode_predictions = real_decode
+
+    assert stats["hallucination_rate"] == 0.5
+    assert stats["cue_recall"] == 0.5
+    assert stats["object_recall"] == 1.0
+    assert stats["object_precision"] == pytest.approx(3 / 4)

@@ -1,0 +1,309 @@
+#!/usr/bin/env python
+"""Object-hallucination reduction via LRP-inference fine-tuning — the
+reference's headline *claim*, demonstrated end to end on synthetic images.
+
+The reference exists to show that LRP-inference fine-tuning (``lrp_tune`` /
+``lrp_cider_tune``, reference train.py:211-286) reduces object hallucination
+while maintaining caption quality.  docs/QUALITY.md proves the modes' loss
+plumbing trains at real scale; this experiment measures the *behavioral*
+claim on a corpus engineered to induce a language-prior hallucination:
+
+- 12 solid-color objects on a clean 64x64 background (the "sharp" visual
+  primitives of tools/synthetic_quality_cnn.py), BUT
+- ``num_pairs`` cue/target pairs (A_k, B_k): A_k is vivid, B_k's color is
+  scaled by ``--faint`` (hard to see), and in TRAINING A_k never appears
+  without B_k.  The language prior "A_k => name B_k" is 100% reliable in
+  training and much easier than grounding the faint pixels, so a
+  teacher-forced model learns to emit B_k from the LSTM state.
+- The held-out hallucination set shows A_k WITHOUT B_k: a prior-driven model
+  names the absent B_k (a textbook object hallucination); a grounded model
+  does not.  The unbiased branch (B/free objects without any A) supplies both
+  training signal that faint objects ARE detectable and an eval measurement
+  of grounded faint-object recall.
+
+Measured per branch (all warm-started from the same converged XE model):
+continued XE (control), ``lrp_tune``, and optionally ``cider_tune`` /
+``lrp_cider_tune`` — hallucination rate P(name B_k | A_k shown, B_k absent),
+cue recall, faint-object recall with/without the cue present, and CIDEr on an
+in-distribution val split (quality must not collapse).  Whatever direction
+the result takes, it is recorded; the reference's claim predicts the LRP
+branch hallucinates less than the XE control.
+
+Usage (real TPU chip, ~20-30 min):
+    python tools/synthetic_hallucination.py --out output/hallucination.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from synthetic_quality import sample_captions  # noqa: E402
+from synthetic_quality_cnn import object_textures, render_item  # noqa: E402
+
+TEMPLATE_WORDS = {"a", "and", "the", "with"}
+
+
+def build_biased_corpus(word_map, *, num_train: int, num_val: int,
+                        num_per_pair: int, height: int, num_objects: int = 12,
+                        num_pairs: int = 4, faint: float = 0.2,
+                        bias_frac: float = 0.6, seed: int = 0,
+                        max_len: int = 14, grid: int = 4):
+    """Train + val_normal + val_halluc splits with the co-occurrence bias.
+
+    Objects [0, num_pairs) are the vivid cues A, [num_pairs, 2*num_pairs) the
+    faint targets B (texture scaled by ``faint``), the rest "free" vivid
+    objects.  Train/val_normal images: with prob ``bias_frac`` a pair
+    (A_k, B_k) + one free object, else 3 of (B + free) — so A_k NEVER appears
+    without B_k, while B appears alone often enough to be learnable.
+    val_halluc images show A_k + two non-B_k distractors and carry their
+    ``bias_pair`` for scoring."""
+    from lrp_imagecaptioning_tpu.data.dataset import CaptionDataset
+
+    rng = np.random.default_rng(seed)
+    ph = height // grid
+    obj_words, obj_tex = object_textures(
+        word_map, num_objects=num_objects, ph=ph, pw=ph, sharp=True, rng=rng)
+    cues = obj_words[:num_pairs]
+    targets = obj_words[num_pairs:2 * num_pairs]
+    free = obj_words[2 * num_pairs:]
+    for w in targets:
+        obj_tex[w] = (faint * obj_tex[w]).astype(np.float32)
+    pool = targets + free
+
+    def mk(objs, img_rng, name):
+        objs = sorted(objs, key=lambda w: word_map[w])
+        return render_item(objs, img_rng, obj_tex=obj_tex, word_map=word_map,
+                           height=height, width=height, grid=grid,
+                           bg_scale=0.0, max_len=max_len, name=name)
+
+    def sample_in_dist(img_rng):
+        if img_rng.random() < bias_frac:
+            k = int(img_rng.integers(num_pairs))
+            return [cues[k], targets[k],
+                    free[int(img_rng.integers(len(free)))]]
+        return list(img_rng.choice(pool, size=3, replace=False))
+
+    train_items = []
+    img_rng = np.random.default_rng(seed + 1)
+    for i in range(num_train):
+        base, encs, lens = mk(sample_in_dist(img_rng), img_rng,
+                              f"halluc_train_{i}.jpg")
+        for e, ln in zip(encs, lens):
+            train_items.append({**base, "encoded_cap": list(e),
+                                "caption_len": int(ln)})
+
+    val_items = []
+    img_rng = np.random.default_rng(seed + 2)
+    for i in range(num_val):
+        base, _, lens = mk(sample_in_dist(img_rng), img_rng,
+                           f"halluc_val_{i}.jpg")
+        val_items.append({**base, "caption_len": [int(x) for x in lens]})
+
+    halluc_items = []
+    img_rng = np.random.default_rng(seed + 3)
+    for k in range(num_pairs):
+        distract = [w for w in pool if w != targets[k]]
+        for i in range(num_per_pair):
+            objs = [cues[k]] + list(
+                img_rng.choice(distract, size=2, replace=False))
+            base, _, lens = mk(objs, img_rng, f"halluc_ood_{k}_{i}.jpg")
+            halluc_items.append({**base,
+                                 "caption_len": [int(x) for x in lens],
+                                 "bias_pair": [cues[k], targets[k]]})
+
+    kw = dict(height=height, width=height, seed=seed)
+    groups = {"cues": cues, "targets": targets, "free": free}
+    return (CaptionDataset(train_items, "train", **kw),
+            CaptionDataset(val_items, "val", **kw),
+            CaptionDataset(halluc_items, "val", **kw),
+            groups)
+
+
+def decode_predictions(trainer, state, ds) -> dict[str, list[str]]:
+    """filename -> beam-3 predicted word list for every valid eval item."""
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.data.vocab import decode_to_words
+
+    cap = trainer.captioner
+    preds = {}
+    for eb in ds.eval_batches(trainer.tcfg.batch_size):
+        feats = cap.encode(state.params, jnp.asarray(eb.images))
+        res = cap.beam_search_batch(state.params, feats, trainer.word_map,
+                                    beam_size=3, max_cap_length=14)
+        toks = np.asarray(res.tokens)
+        lens = np.asarray(res.length)
+        for j in range(len(eb.filenames)):
+            if eb.valid[j]:
+                preds[eb.filenames[j]] = decode_to_words(
+                    toks[j][: lens[j]], trainer.word_map)
+    return preds
+
+
+def grounding_stats(trainer, state, val_normal, val_halluc, groups) -> dict:
+    """Hallucination + grounding metrics for one model.
+
+    - ``hallucination_rate``: P(B_k named | A_k shown, B_k ABSENT) on the
+      out-of-distribution split — the headline number,
+    - ``cue_recall``: the vivid A_k itself is still named there,
+    - ``other_false_rate``: non-B_k absent objects named there (generic
+      hallucination, should stay ~0 for everyone),
+    - on val_normal: ``faint_recall_with_cue`` (B_k present AND its A_k
+      present — the prior alone suffices) vs ``faint_recall_no_cue`` (B
+      present without its cue — requires grounding), plus overall object
+      recall/precision."""
+    targets = set(groups["targets"])
+    pair_of = dict(zip(groups["cues"], groups["targets"]))
+
+    n = {"halluc": 0, "halluc_n": 0, "cue": 0, "other_false": 0,
+         "with_cue": 0, "with_cue_n": 0, "no_cue": 0, "no_cue_n": 0,
+         "rec": 0.0, "prec": 0.0, "norm_n": 0}
+
+    preds = decode_predictions(trainer, state, val_halluc)
+    for item in val_halluc.items:
+        words = preds.get(os.path.basename(item["image_path"]))
+        if words is None:
+            continue
+        pred_objs = set(w for w in words if w not in TEMPLATE_WORDS)
+        cue, target = item["bias_pair"]
+        present = {w for w, _ in item["objects"]}
+        n["halluc"] += target in pred_objs
+        n["halluc_n"] += 1
+        n["cue"] += cue in pred_objs
+        n["other_false"] += bool(pred_objs - present - {target})
+
+    preds = decode_predictions(trainer, state, val_normal)
+    for item in val_normal.items:
+        words = preds.get(os.path.basename(item["image_path"]))
+        if words is None:
+            continue
+        pred_objs = set(w for w in words if w not in TEMPLATE_WORDS)
+        present = {w for w, _ in item["objects"]}
+        n["rec"] += len(pred_objs & present) / len(present)
+        n["prec"] += len(pred_objs & present) / max(len(pred_objs), 1)
+        n["norm_n"] += 1
+        for t in present & targets:
+            cued = any(pair_of.get(c) == t for c in present)
+            key = "with_cue" if cued else "no_cue"
+            n[key] += t in pred_objs
+            n[key + "_n"] += 1
+
+    hn = max(n["halluc_n"], 1)
+    return {
+        "hallucination_rate": n["halluc"] / hn,
+        "cue_recall": n["cue"] / hn,
+        "other_false_rate": n["other_false"] / hn,
+        "faint_recall_with_cue": n["with_cue"] / max(n["with_cue_n"], 1),
+        "faint_recall_no_cue": n["no_cue"] / max(n["no_cue_n"], 1),
+        "object_recall": n["rec"] / max(n["norm_n"], 1),
+        "object_precision": n["prec"] / max(n["norm_n"], 1),
+        "counts": {k: n[k] for k in ("halluc_n", "with_cue_n", "no_cue_n",
+                                     "norm_n")},
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="output/hallucination.json")
+    p.add_argument("--train-images", type=int, default=2000)
+    p.add_argument("--val-images", type=int, default=100)
+    p.add_argument("--halluc-per-pair", type=int, default=25)
+    p.add_argument("--num-objects", type=int, default=12)
+    p.add_argument("--num-pairs", type=int, default=4)
+    p.add_argument("--faint", type=float, default=0.2)
+    p.add_argument("--bias-frac", type=float, default=0.6)
+    p.add_argument("--height", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--warm-epochs", type=int, default=25)
+    p.add_argument("--tune-epochs", type=int, default=8)
+    p.add_argument("--hidden-dim", type=int, default=512)
+    p.add_argument("--embed-dim", type=int, default=512)
+    p.add_argument("--wordmap", default="dataset/wordmap_flickr30k.json")
+    p.add_argument("--modes", default="xe_cont,lrp",
+                   help="branches from the XE warm start: xe_cont,lrp,"
+                        "cider,lrp_cider")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.config import (
+        ExperimentConfig, MeshConfig, ModelConfig, TrainConfig,
+    )
+    from lrp_imagecaptioning_tpu.data.vocab import WordMap
+    from lrp_imagecaptioning_tpu.engine.train import Trainer
+
+    word_map = WordMap.load(args.wordmap)
+    print(f"vocab={len(word_map)} devices={jax.devices()}", flush=True)
+
+    train_ds, val_ds, halluc_ds, groups = build_biased_corpus(
+        word_map, num_train=args.train_images, num_val=args.val_images,
+        num_per_pair=args.halluc_per_pair, height=args.height,
+        num_objects=args.num_objects, num_pairs=args.num_pairs,
+        faint=args.faint, bias_frac=args.bias_frac)
+    print(f"corpus: {len(train_ds)} train pairs, {len(val_ds)} val, "
+          f"{len(halluc_ds)} halluc images; groups={groups}", flush=True)
+
+    model = ModelConfig(
+        model_type="gridtd", encoder="vgg16",
+        embed_dim=args.embed_dim, hidden_dim=args.hidden_dim,
+        vocab_size=len(word_map), height=args.height, width=args.height,
+        vocab_pad_multiple=128,
+    )
+    results = {"config": vars(args) | {"vocab": len(word_map)},
+               "groups": groups}
+
+    def make_trainer(epochs, **tkw):
+        t = TrainConfig(batch_size=args.batch_size, epochs=epochs,
+                        max_caption_len=16, print_freq=100,
+                        finetune_encoder=True, **tkw)
+        return Trainer(ExperimentConfig(model=model, train=t,
+                                        mesh=MeshConfig()), word_map)
+
+    tr = make_trainer(args.warm_epochs)
+    t0 = time.time()
+    warm_state, hist = tr.fit(train_ds, val_ds, validate_beam=3)
+    results["xe_warm"] = {
+        "history": hist, "final_cider": hist[-1]["cider"],
+        "seconds": time.time() - t0,
+        "stats": grounding_stats(tr, warm_state, val_ds, halluc_ds, groups),
+        "samples": sample_captions(tr, warm_state, halluc_ds),
+    }
+    print("xe_warm:", json.dumps(results["xe_warm"]["stats"]), flush=True)
+
+    MODE_FLAGS = {"xe_cont": {}, "lrp": {"lrp_tune": True},
+                  "cider": {"cider_tune": True},
+                  "lrp_cider": {"lrp_cider_tune": True}}
+    for mode in args.modes.split(","):
+        tr2 = make_trainer(args.tune_epochs, decoder_lr=5e-5,
+                           encoder_lr=5e-5, **MODE_FLAGS[mode])
+        st = tr2.init_state(jax.random.PRNGKey(0))
+        # warm-start copy — the jitted steps donate their buffers
+        st = st.replace(params=jax.tree_util.tree_map(
+            jnp.array, warm_state.params))
+        t0 = time.time()
+        st, hist = tr2.fit(train_ds, val_ds, state=st, validate_beam=3)
+        results[mode] = {
+            "history": hist, "final_cider": hist[-1]["cider"],
+            "seconds": time.time() - t0,
+            "stats": grounding_stats(tr2, st, val_ds, halluc_ds, groups),
+            "samples": sample_captions(tr2, st, halluc_ds),
+        }
+        print(f"{mode}:", json.dumps(results[mode]["stats"]), flush=True)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,29 +39,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from synthetic_quality import TEMPLATES, sample_captions  # noqa: E402
 
 
-def build_image_corpus(word_map, *, num_train: int, num_val: int, height: int,
-                       width: int, num_objects: int, seed: int = 0,
-                       max_len: int = 14, grid: int = 4, sharp: bool = False):
-    """Images: 3 object textures pasted at distinct random grid slots on
-    noise; captions name them in canonical (word-id) order via 5 templates.
-
-    ``sharp=True`` is the fully-learnable variant (absolute-quality
-    convergence evidence): solid maximally-separated hue-wheel colors on a
-    clean background instead of noisy textures on noise — the task stays the
-    same (name 3 objects from pixels in canonical order) but nothing bounds
-    token accuracy below 100%."""
+def object_textures(word_map, *, num_objects: int, ph: int, pw: int,
+                    sharp: bool, rng) -> tuple[list, dict]:
+    """Object vocabulary + per-object texture patches (factored out so
+    tools/synthetic_hallucination.py can build biased corpora from the same
+    visual primitives; rng draw order matches the original corpus)."""
     import colorsys
 
-    from lrp_imagecaptioning_tpu.data.dataset import CaptionDataset
-    from lrp_imagecaptioning_tpu.data.vocab import encode_caption
-
-    rng = np.random.default_rng(seed)
     specials = {word_map.pad, word_map.unk, word_map.start, word_map.end}
     template_words = {"a", "and", "the", "with"}
     candidates = [w for w, i in word_map.word_to_id.items()
                   if i not in specials and w not in template_words]
     obj_words = list(rng.choice(candidates, size=num_objects, replace=False))
-    ph, pw = height // grid, width // grid
     if sharp:
         # solid, maximally-separated colors: evenly spaced hues at two
         # value levels, mapped onto the normalized-image scale
@@ -78,6 +67,55 @@ def build_image_corpus(word_map, *, num_train: int, num_val: int, height: int,
                        .astype(np.float32)
                        + 0.5 * rng.normal(size=(ph, pw, 3)).astype(np.float32))
                    for w in obj_words}
+    return obj_words, obj_tex
+
+
+def render_item(objs, img_rng, *, obj_tex, word_map, height, width, grid,
+                bg_scale, max_len, name):
+    """One corpus image + its 5 template references for a given (sorted)
+    object list; draws background then slots from ``img_rng`` (that order is
+    load-bearing for reproducing the committed corpora)."""
+    from lrp_imagecaptioning_tpu.data.vocab import encode_caption
+
+    ph, pw = height // grid, width // grid
+    img = bg_scale * img_rng.normal(size=(height, width, 3)).astype(
+        np.float32)
+    slots = img_rng.choice(grid * grid, size=len(objs), replace=False)
+    for w, s in zip(objs, slots):
+        r, c = divmod(int(s), grid)
+        img[r * ph:(r + 1) * ph, c * pw:(c + 1) * pw] += obj_tex[w]
+    caps = [t.format(*objs).split(" ") for t in TEMPLATES]
+    encs, lens = zip(*(encode_caption(c, word_map, max_len) for c in caps))
+    base = {
+        "image_path": name,
+        "image_array": img,
+        "encoded_all_caps": [list(e) for e in encs],
+        # ground truth for localization eval: which word sits in
+        # which grid slot (the generator knows; inferring it back
+        # from pixel energy can only assign the UNION of cells)
+        "objects": [[w, int(s)] for w, s in zip(objs, slots)],
+        "grid": grid,
+    }
+    return base, encs, lens
+
+
+def build_image_corpus(word_map, *, num_train: int, num_val: int, height: int,
+                       width: int, num_objects: int, seed: int = 0,
+                       max_len: int = 14, grid: int = 4, sharp: bool = False):
+    """Images: 3 object textures pasted at distinct random grid slots on
+    noise; captions name them in canonical (word-id) order via 5 templates.
+
+    ``sharp=True`` is the fully-learnable variant (absolute-quality
+    convergence evidence): solid maximally-separated hue-wheel colors on a
+    clean background instead of noisy textures on noise — the task stays the
+    same (name 3 objects from pixels in canonical order) but nothing bounds
+    token accuracy below 100%."""
+    from lrp_imagecaptioning_tpu.data.dataset import CaptionDataset
+
+    rng = np.random.default_rng(seed)
+    ph, pw = height // grid, width // grid
+    obj_words, obj_tex = object_textures(
+        word_map, num_objects=num_objects, ph=ph, pw=pw, sharp=sharp, rng=rng)
     bg_scale = 0.0 if sharp else 0.1
 
     def make_items(n, offset):
@@ -88,25 +126,10 @@ def build_image_corpus(word_map, *, num_train: int, num_val: int, height: int,
                 img_rng.choice(obj_words, size=3, replace=False),
                 key=lambda w: word_map[w],
             )
-            img = bg_scale * img_rng.normal(size=(height, width, 3)).astype(
-                np.float32)
-            slots = img_rng.choice(grid * grid, size=3, replace=False)
-            for w, s in zip(objs, slots):
-                r, c = divmod(int(s), grid)
-                img[r * ph:(r + 1) * ph, c * pw:(c + 1) * pw] += obj_tex[w]
-            caps = [t.format(*objs).split(" ") for t in TEMPLATES]
-            encs, lens = zip(*(encode_caption(c, word_map, max_len)
-                               for c in caps))
-            base = {
-                "image_path": f"synth_{offset}_{i}.jpg",
-                "image_array": img,
-                "encoded_all_caps": [list(e) for e in encs],
-                # ground truth for localization eval: which word sits in
-                # which grid slot (the generator knows; inferring it back
-                # from pixel energy can only assign the UNION of cells)
-                "objects": [[w, int(s)] for w, s in zip(objs, slots)],
-                "grid": grid,
-            }
+            base, encs, lens = render_item(
+                objs, img_rng, obj_tex=obj_tex, word_map=word_map,
+                height=height, width=width, grid=grid, bg_scale=bg_scale,
+                max_len=max_len, name=f"synth_{offset}_{i}.jpg")
             for e, ln in zip(encs, lens):
                 train_items.append({**base, "encoded_cap": list(e),
                                     "caption_len": int(ln)})
