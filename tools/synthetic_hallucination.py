@@ -148,6 +148,60 @@ def decode_predictions(trainer, state, ds) -> dict[str, list[str]]:
     return preds
 
 
+def mechanism_stats(trainer, state, val_halluc, groups) -> dict:
+    """LRP-reweighting readout on the OOD split, independent of whether
+    fine-tuning already moved behavior.
+
+    The model's own beam-3 caption is teacher-forced through ``forward_lrp``
+    and, at each step that emits an object word, the word's
+    weighted-minus-standard log-probability gap is recorded — grouped into
+    hallucinated bias targets (B_k emitted while absent) vs grounded objects
+    (actually present).  ``lrp_tune`` trains on exactly these weighted logits
+    (reference train.py:211-242), so a more-negative gap for hallucinated
+    words than for grounded ones IS the suppression mechanism the reference
+    claims."""
+    import jax
+    import jax.numpy as jnp
+
+    cap = trainer.captioner
+    max_cap = 14
+    i2w = trainer.word_map.id_to_word
+    by_name = {os.path.basename(i["image_path"]): i for i in val_halluc.items}
+    gaps = {"hallucinated": [], "grounded": []}
+    for eb in val_halluc.eval_batches(trainer.tcfg.batch_size):
+        feats = cap.encode(state.params, jnp.asarray(eb.images))
+        res = cap.beam_search_batch(state.params, feats, trainer.word_map,
+                                    beam_size=3, max_cap_length=max_cap)
+        toks = np.asarray(res.tokens)[:, :max_cap]
+        lens = np.asarray(res.length)
+        start_col = np.full((toks.shape[0], 1), trainer.word_map.start,
+                            dtype=toks.dtype)
+        captions = jnp.asarray(np.concatenate([start_col, toks], axis=1))
+        logits, weighted = cap.forward_lrp(
+            state.params, feats, captions, trainer.stop_mask,
+            num_steps=max_cap)
+        lp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+        lpw = np.asarray(jax.nn.log_softmax(weighted, axis=-1))
+        for j in range(len(eb.filenames)):
+            item = by_name.get(eb.filenames[j])
+            if item is None or not eb.valid[j]:
+                continue
+            present = {w for w, _ in item["objects"]}
+            target = item["bias_pair"][1]
+            for t in range(min(int(lens[j]), max_cap)):
+                word = i2w.get(int(toks[j, t]))
+                if word == target:
+                    group = "hallucinated"
+                elif word in present:
+                    group = "grounded"
+                else:
+                    continue
+                gaps[group].append(float(lpw[j, t, toks[j, t]]
+                                         - lp[j, t, toks[j, t]]))
+    return {k: {"mean_logprob_gap": float(np.mean(v)) if v else None,
+                "n": len(v)} for k, v in gaps.items()}
+
+
 def grounding_stats(trainer, state, val_normal, val_halluc, groups) -> dict:
     """Hallucination + grounding metrics for one model.
 
@@ -275,9 +329,12 @@ def main(argv=None):
         "history": hist, "final_cider": hist[-1]["cider"],
         "seconds": time.time() - t0,
         "stats": grounding_stats(tr, warm_state, val_ds, halluc_ds, groups),
+        "mechanism": mechanism_stats(tr, warm_state, halluc_ds, groups),
         "samples": sample_captions(tr, warm_state, halluc_ds),
     }
     print("xe_warm:", json.dumps(results["xe_warm"]["stats"]), flush=True)
+    print("xe_warm mechanism:",
+          json.dumps(results["xe_warm"]["mechanism"]), flush=True)
 
     MODE_FLAGS = {"xe_cont": {}, "lrp": {"lrp_tune": True},
                   "cider": {"cider_tune": True},
@@ -295,9 +352,12 @@ def main(argv=None):
             "history": hist, "final_cider": hist[-1]["cider"],
             "seconds": time.time() - t0,
             "stats": grounding_stats(tr2, st, val_ds, halluc_ds, groups),
+            "mechanism": mechanism_stats(tr2, st, halluc_ds, groups),
             "samples": sample_captions(tr2, st, halluc_ds),
         }
         print(f"{mode}:", json.dumps(results[mode]["stats"]), flush=True)
+        print(f"{mode} mechanism:", json.dumps(results[mode]["mechanism"]),
+              flush=True)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
