@@ -42,6 +42,18 @@ def main():
     ap.add_argument("--dp", type=int, default=0,
                     help="weak-scaling mode: shard over N data-parallel "
                          "devices (virtual CPU if needed)")
+    ap.add_argument("--params-checkpoint", default="",
+                    help="params-only Orbax checkpoint to bench TRAINED "
+                         "weights (e.g. tools/synthetic_hallucination.py "
+                         "--save-params); requires --wordmap and matching "
+                         "--height/dims — closes the 'random weights' "
+                         "caveat: throughput is shape-bound, so this must "
+                         "match the random-weights number")
+    ap.add_argument("--wordmap", default="",
+                    help="word-map JSON for --params-checkpoint (the "
+                         "checkpoint's vocab/start/end ids)")
+    ap.add_argument("--height", type=int, default=0,
+                    help="input height/width override (default: preset)")
     args = ap.parse_args()
 
     if args.dp:
@@ -82,13 +94,18 @@ def main():
     # amortizes out; 20 is within ~1% of the steady-state asymptote and the
     # timed window is still only ~1.7 s.
     iters = args.iters or (2 if smoke else 20)
-    hw = 64 if smoke else 224
+    hw = args.height or (64 if smoke else 224)
     max_words = args.max_words or (6 if smoke else 16)
 
-    vocab_words = 60 if smoke else 9582
-    word_map = build_word_map(
-        [[f"w{i}"] for i in range(vocab_words)], min_word_freq=1
-    )
+    if args.wordmap:
+        from lrp_imagecaptioning_tpu.data.vocab import WordMap
+
+        word_map = WordMap.load(args.wordmap)
+    else:
+        vocab_words = 60 if smoke else 9582
+        word_map = build_word_map(
+            [[f"w{i}"] for i in range(vocab_words)], min_word_freq=1
+        )
     bu = args.encoder == "bu"
     if bu:
         # reference BU geometry: 36 regions x 2048, hidden 1024
@@ -110,6 +127,12 @@ def main():
         )
     cap = Captioner(cfg)
     params = cap.init(jax.random.PRNGKey(0))
+    if args.params_checkpoint:
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            params = ckptr.restore(os.path.abspath(args.params_checkpoint),
+                                   params)
     explainer = build_explainer("lrp", cap, params, word_map,
                                 max_words=max_words)
 
@@ -170,8 +193,11 @@ def main():
         # where beam decode emits <end>); the reference explains up to the
         # decoded caption length, so divide by max_words for a per-word rate.
         "words_explained_per_image": max_words,
-        "weights": "random (no reference checkpoint is downloadable in this "
-                   "environment); throughput is shape-bound, not value-bound",
+        "weights": (f"trained ({args.params_checkpoint})"
+                    if args.params_checkpoint else
+                    "random (no reference checkpoint is downloadable in this "
+                    "environment); throughput is shape-bound, not "
+                    "value-bound"),
     }))
 
 

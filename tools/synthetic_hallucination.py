@@ -284,6 +284,10 @@ def main(argv=None):
     p.add_argument("--modes", default="xe_cont,lrp",
                    help="branches from the XE warm start: xe_cont,lrp,"
                         "cider,lrp_cider")
+    p.add_argument("--save-params", default="",
+                   help="directory to save params-only Orbax checkpoints "
+                        "(warm_params + <mode>_params) — e.g. for "
+                        "bench.py --params-checkpoint")
     args = p.parse_args(argv)
 
     import jax
@@ -322,9 +326,20 @@ def main(argv=None):
         return Trainer(ExperimentConfig(model=model, train=t,
                                         mesh=MeshConfig()), word_map)
 
+    def save_params(tag, params):
+        if not args.save_params:
+            return
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(args.save_params, tag))
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, params)
+        print("saved params:", path, flush=True)
+
     tr = make_trainer(args.warm_epochs)
     t0 = time.time()
     warm_state, hist = tr.fit(train_ds, val_ds, validate_beam=3)
+    save_params("warm_params", warm_state.params)
     results["xe_warm"] = {
         "history": hist, "final_cider": hist[-1]["cider"],
         "seconds": time.time() - t0,
@@ -348,6 +363,7 @@ def main(argv=None):
             jnp.array, warm_state.params))
         t0 = time.time()
         st, hist = tr2.fit(train_ds, val_ds, state=st, validate_beam=3)
+        save_params(f"{mode}_params", st.params)
         results[mode] = {
             "history": hist, "final_cider": hist[-1]["cider"],
             "seconds": time.time() - t0,
