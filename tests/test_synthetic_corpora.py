@@ -150,3 +150,75 @@ def test_grounding_stats_math(biased, word_map):
     assert stats["cue_recall"] == 0.5
     assert stats["object_recall"] == 1.0
     assert stats["object_precision"] == pytest.approx(3 / 4)
+
+
+# ---------------------------------------------------------------- annotation
+
+
+def test_format_caption_matches_templates_for_three():
+    from synthetic_quality import TEMPLATES, format_caption
+
+    objs = ["wok", "stir", "fare"]
+    for i, t in enumerate(TEMPLATES):
+        assert format_caption(objs, i) == t.format(*objs)
+
+
+def test_format_caption_four_objects_within_max_len(word_map):
+    from synthetic_quality import format_caption
+
+    from lrp_imagecaptioning_tpu.data.vocab import encode_caption
+
+    objs = ["fare", "railing", "fold", "nail"]
+    for i in range(5):
+        toks = format_caption(objs, i).split(" ")
+        assert all(w in objs or w in {"a", "and", "the", "with"}
+                   for w in toks)
+        enc, ln = encode_caption(toks, word_map, 14)  # must not raise
+        assert ln == len(toks) + 2
+
+
+@pytest.fixture(scope="module")
+def annotation(word_map):
+    from synthetic_hallucination import build_annotation_corpus
+
+    return build_annotation_corpus(
+        word_map, num_train=80, num_val=30, height=64, num_objects=12,
+        num_phantoms=1, inject_p=0.75)
+
+
+def test_annotation_phantom_never_rendered(annotation):
+    train_ds, val_ds, groups = annotation
+    phantoms = set(groups["phantoms"])
+    for ds in (train_ds, val_ds):
+        for item in ds.items:
+            assert not (objset(item) & phantoms), (
+                "phantoms must have zero pixel support anywhere")
+
+
+def test_annotation_phantom_injected_in_captions_only(annotation, word_map):
+    train_ds, val_ds, groups = annotation
+    phantom_ids = {word_map[w] for w in groups["phantoms"]}
+    n_inj = sum(bool(set(item["encoded_cap"]) & phantom_ids)
+                for item in train_ds.items)
+    frac = n_inj / len(train_ds.items)
+    assert 0.55 <= frac <= 0.95, frac  # ~inject_p, over 5 caps/image
+    assert abs(frac - groups["inject_rate"]) < 1e-9
+    for item in val_ds.items:  # val references are clean
+        for enc in item["encoded_all_caps"]:
+            assert not (set(enc) & phantom_ids)
+
+
+def test_annotation_injected_caption_names_rendered_plus_phantom(
+        annotation, word_map):
+    train_ds, _, groups = annotation
+    phantom_ids = {word_map[w] for w in groups["phantoms"]}
+    template_ids = {word_map[w] for w in ("a", "and", "the", "with")}
+    specials = {word_map.pad, word_map.start, word_map.end}
+    for item in train_ds.items:
+        enc = set(item["encoded_cap"]) - template_ids - specials
+        rendered = {word_map[w] for w in objset(item)}
+        extra = enc - rendered
+        assert extra <= phantom_ids, (
+            "caption words must be the rendered objects plus at most the "
+            "phantom")
+        assert rendered <= enc, "every rendered object is named"

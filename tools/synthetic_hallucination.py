@@ -29,8 +29,16 @@ in-distribution val split (quality must not collapse).  Whatever direction
 the result takes, it is recorded; the reference's claim predicts the LRP
 branch hallucinates less than the XE control.
 
+``--bias-mode annotation`` builds the complementary corpus: a phantom word
+injected into training CAPTIONS (prob ``--inject-p``) but never rendered —
+an evidence-free language prior, the regime the reference's weighting
+actually targets (vs the biased-cue corpus above, where the hallucinated
+word has genuine correlated image evidence via the visible cue).
+
 Usage (real TPU chip, ~20-30 min):
     python tools/synthetic_hallucination.py --out output/hallucination.json
+    python tools/synthetic_hallucination.py --bias-mode annotation \
+        --out output/hallucination_annotation.json
 """
 
 from __future__ import annotations
@@ -127,6 +135,68 @@ def build_biased_corpus(word_map, *, num_train: int, num_val: int,
             groups)
 
 
+def build_annotation_corpus(word_map, *, num_train: int, num_val: int,
+                            height: int, num_objects: int = 12,
+                            num_phantoms: int = 1, inject_p: float = 0.75,
+                            seed: int = 0, max_len: int = 14, grid: int = 4):
+    """Annotation-bias variant: the phantom word appears in training CAPTIONS
+    (with prob ``inject_p``, at its canonical sorted position) but is NEVER
+    rendered — there are no pixels for it anywhere in the corpus.  This is
+    the complementary regime to the biased-cue corpus: the learned prior to
+    emit the phantom has *zero* image evidence, which is exactly the case the
+    reference's LRP-inference weighting targets (frequent annotation words
+    emitted without visual support, evaluation.py:19-34's motivating lists).
+
+    Val references are clean (no phantom), so phantom emission both defines
+    ``hallucination_rate`` and depresses val CIDEr like a real hallucination
+    penalty.  Every val image is a hallucination site."""
+    from lrp_imagecaptioning_tpu.data.dataset import CaptionDataset
+
+    rng = np.random.default_rng(seed)
+    ph = height // grid
+    obj_words, obj_tex = object_textures(
+        word_map, num_objects=num_objects, ph=ph, pw=ph, sharp=True, rng=rng)
+    phantoms = obj_words[:num_phantoms]  # reserved: never rendered
+    pool = obj_words[num_phantoms:]
+
+    def mk(objs, img_rng, name, caption_objs=None):
+        objs = sorted(objs, key=lambda w: word_map[w])
+        if caption_objs is not None:
+            caption_objs = sorted(caption_objs, key=lambda w: word_map[w])
+        return render_item(objs, img_rng, obj_tex=obj_tex, word_map=word_map,
+                           height=height, width=height, grid=grid,
+                           bg_scale=0.0, max_len=max_len, name=name,
+                           caption_objs=caption_objs)
+
+    train_items = []
+    img_rng = np.random.default_rng(seed + 1)
+    n_injected = 0
+    for i in range(num_train):
+        objs = list(img_rng.choice(pool, size=3, replace=False))
+        cap_objs = None
+        if img_rng.random() < inject_p:
+            cap_objs = objs + [phantoms[int(img_rng.integers(num_phantoms))]]
+            n_injected += 1
+        base, encs, lens = mk(objs, img_rng, f"ann_train_{i}.jpg",
+                              caption_objs=cap_objs)
+        for e, ln in zip(encs, lens):
+            train_items.append({**base, "encoded_cap": list(e),
+                                "caption_len": int(ln)})
+
+    val_items = []
+    img_rng = np.random.default_rng(seed + 2)
+    for i in range(num_val):
+        objs = list(img_rng.choice(pool, size=3, replace=False))
+        base, _, lens = mk(objs, img_rng, f"ann_val_{i}.jpg")
+        val_items.append({**base, "caption_len": [int(x) for x in lens]})
+
+    kw = dict(height=height, width=height, seed=seed)
+    groups = {"phantoms": phantoms, "pool": pool,
+              "inject_rate": n_injected / max(num_train, 1)}
+    return (CaptionDataset(train_items, "train", **kw),
+            CaptionDataset(val_items, "val", **kw), groups)
+
+
 def decode_predictions(trainer, state, ds) -> dict[str, list[str]]:
     """filename -> beam-3 predicted word list for every valid eval item."""
     import jax.numpy as jnp
@@ -148,7 +218,8 @@ def decode_predictions(trainer, state, ds) -> dict[str, list[str]]:
     return preds
 
 
-def mechanism_stats(trainer, state, val_halluc, groups) -> dict:
+def mechanism_stats(trainer, state, val_halluc, groups,
+                    classify=None) -> dict:
     """LRP-reweighting readout on the OOD split, independent of whether
     fine-tuning already moved behavior.
 
@@ -159,7 +230,11 @@ def mechanism_stats(trainer, state, val_halluc, groups) -> dict:
     (actually present).  ``lrp_tune`` trains on exactly these weighted logits
     (reference train.py:211-242), so a more-negative gap for hallucinated
     words than for grounded ones IS the suppression mechanism the reference
-    claims."""
+    claims.
+
+    ``classify(item, word, present) -> 'hallucinated'|'grounded'|None``
+    overrides the default biased-cue grouping (annotation mode groups by
+    phantom membership instead of the item's ``bias_pair``)."""
     import jax
     import jax.numpy as jnp
 
@@ -187,14 +262,17 @@ def mechanism_stats(trainer, state, val_halluc, groups) -> dict:
             if item is None or not eb.valid[j]:
                 continue
             present = {w for w, _ in item["objects"]}
-            target = item["bias_pair"][1]
             for t in range(min(int(lens[j]), max_cap)):
                 word = i2w.get(int(toks[j, t]))
-                if word == target:
+                if classify is not None:
+                    group = classify(item, word, present)
+                elif word == item["bias_pair"][1]:
                     group = "hallucinated"
                 elif word in present:
                     group = "grounded"
                 else:
+                    group = None
+                if group is None:
                     continue
                 gaps[group].append(float(lpw[j, t, toks[j, t]]
                                          - lp[j, t, toks[j, t]]))
@@ -264,6 +342,42 @@ def grounding_stats(trainer, state, val_normal, val_halluc, groups) -> dict:
     }
 
 
+def annotation_stats(trainer, state, val_ds, groups) -> dict:
+    """Hallucination + grounding metrics for the annotation-bias corpus.
+
+    Every val image is a hallucination site (phantoms are never rendered):
+    ``hallucination_rate`` = P(any phantom named), plus per-phantom rates and
+    object recall/precision over the rendered objects."""
+    phantoms = set(groups["phantoms"])
+    n = {"halluc": 0, "n": 0, "rec": 0.0, "prec": 0.0}
+    per_phantom = {w: 0 for w in phantoms}
+
+    preds = decode_predictions(trainer, state, val_ds)
+    for item in val_ds.items:
+        words = preds.get(os.path.basename(item["image_path"]))
+        if words is None:
+            continue
+        pred_objs = set(w for w in words if w not in TEMPLATE_WORDS)
+        present = {w for w, _ in item["objects"]}
+        named = pred_objs & phantoms
+        n["halluc"] += bool(named)
+        for w in named:
+            per_phantom[w] += 1
+        n["rec"] += len(pred_objs & present) / len(present)
+        n["prec"] += len((pred_objs - phantoms) & present) / max(
+            len(pred_objs - phantoms), 1)
+        n["n"] += 1
+
+    nn = max(n["n"], 1)
+    return {
+        "hallucination_rate": n["halluc"] / nn,
+        "per_phantom_rate": {w: c / nn for w, c in per_phantom.items()},
+        "object_recall": n["rec"] / nn,
+        "object_precision": n["prec"] / nn,
+        "counts": {"n": n["n"]},
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="output/hallucination.json")
@@ -284,6 +398,14 @@ def main(argv=None):
     p.add_argument("--modes", default="xe_cont,lrp",
                    help="branches from the XE warm start: xe_cont,lrp,"
                         "cider,lrp_cider")
+    p.add_argument("--bias-mode", default="cue", choices=["cue", "annotation"],
+                   help="cue: vivid cue co-occurs with a faint target "
+                        "(correlated-evidence hallucination); annotation: a "
+                        "phantom word appears in captions but never in "
+                        "pixels (evidence-free prior — the regime the "
+                        "reference's weighting targets)")
+    p.add_argument("--num-phantoms", type=int, default=1)
+    p.add_argument("--inject-p", type=float, default=0.75)
     p.add_argument("--save-params", default="",
                    help="directory to save params-only Orbax checkpoints "
                         "(warm_params + <mode>_params) — e.g. for "
@@ -302,11 +424,26 @@ def main(argv=None):
     word_map = WordMap.load(args.wordmap)
     print(f"vocab={len(word_map)} devices={jax.devices()}", flush=True)
 
-    train_ds, val_ds, halluc_ds, groups = build_biased_corpus(
-        word_map, num_train=args.train_images, num_val=args.val_images,
-        num_per_pair=args.halluc_per_pair, height=args.height,
-        num_objects=args.num_objects, num_pairs=args.num_pairs,
-        faint=args.faint, bias_frac=args.bias_frac)
+    if args.bias_mode == "cue":
+        train_ds, val_ds, halluc_ds, groups = build_biased_corpus(
+            word_map, num_train=args.train_images, num_val=args.val_images,
+            num_per_pair=args.halluc_per_pair, height=args.height,
+            num_objects=args.num_objects, num_pairs=args.num_pairs,
+            faint=args.faint, bias_frac=args.bias_frac)
+        classify = None
+    else:
+        train_ds, val_ds, groups = build_annotation_corpus(
+            word_map, num_train=args.train_images, num_val=args.val_images,
+            height=args.height, num_objects=args.num_objects,
+            num_phantoms=args.num_phantoms, inject_p=args.inject_p)
+        halluc_ds = val_ds  # every clean val image is a hallucination site
+        phantoms = set(groups["phantoms"])
+
+        def classify(item, word, present):
+            if word in phantoms:
+                return "hallucinated"
+            return "grounded" if word in present else None
+
     print(f"corpus: {len(train_ds)} train pairs, {len(val_ds)} val, "
           f"{len(halluc_ds)} halluc images; groups={groups}", flush=True)
 
@@ -336,6 +473,18 @@ def main(argv=None):
             ckptr.save(path, params)
         print("saved params:", path, flush=True)
 
+    def branch_report(tr_, st_):
+        if args.bias_mode == "cue":
+            stats = grounding_stats(tr_, st_, val_ds, halluc_ds, groups)
+        else:
+            stats = annotation_stats(tr_, st_, val_ds, groups)
+        return {
+            "stats": stats,
+            "mechanism": mechanism_stats(tr_, st_, halluc_ds, groups,
+                                         classify=classify),
+            "samples": sample_captions(tr_, st_, halluc_ds),
+        }
+
     tr = make_trainer(args.warm_epochs)
     t0 = time.time()
     warm_state, hist = tr.fit(train_ds, val_ds, validate_beam=3)
@@ -343,9 +492,7 @@ def main(argv=None):
     results["xe_warm"] = {
         "history": hist, "final_cider": hist[-1]["cider"],
         "seconds": time.time() - t0,
-        "stats": grounding_stats(tr, warm_state, val_ds, halluc_ds, groups),
-        "mechanism": mechanism_stats(tr, warm_state, halluc_ds, groups),
-        "samples": sample_captions(tr, warm_state, halluc_ds),
+        **branch_report(tr, warm_state),
     }
     print("xe_warm:", json.dumps(results["xe_warm"]["stats"]), flush=True)
     print("xe_warm mechanism:",
@@ -367,9 +514,7 @@ def main(argv=None):
         results[mode] = {
             "history": hist, "final_cider": hist[-1]["cider"],
             "seconds": time.time() - t0,
-            "stats": grounding_stats(tr2, st, val_ds, halluc_ds, groups),
-            "mechanism": mechanism_stats(tr2, st, halluc_ds, groups),
-            "samples": sample_captions(tr2, st, halluc_ds),
+            **branch_report(tr2, st),
         }
         print(f"{mode}:", json.dumps(results[mode]["stats"]), flush=True)
         print(f"{mode} mechanism:", json.dumps(results[mode]["mechanism"]),

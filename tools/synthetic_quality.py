@@ -42,6 +42,29 @@ TEMPLATES = [
 ]
 
 
+def format_caption(objs, style: int) -> str:
+    """Variable-arity generalization of the five TEMPLATES — identical output
+    for 3 objects (pinned by tests/test_synthetic_corpora.py), extends the
+    same connector patterns to any count (the annotation-bias corpus injects
+    caption-only words, producing 4-object captions)."""
+    if style == 0:
+        return " and ".join(f"a {w}" for w in objs)
+    if style == 1:
+        return " with a ".join(
+            [" and ".join(f"the {w}" for w in objs[:-1]), objs[-1]])
+    if style == 2:
+        return " and ".join(objs)
+    if style == 3:
+        # connectors alternate "with a" / "and a" after the leading "a {0}"
+        out = [f"a {objs[0]}"]
+        for i, w in enumerate(objs[1:]):
+            out.append(f"{'with' if i % 2 == 0 else 'and'} a {w}")
+        return " ".join(out)
+    if style == 4:
+        return " ".join(f"the {w}" for w in objs)
+    raise ValueError(f"unknown template style {style}")
+
+
 def build_corpus(word_map, *, num_train: int, num_val: int, feat_dim: int,
                  num_regions: int, num_objects: int, seed: int = 0,
                  max_len: int = 14):

@@ -71,10 +71,16 @@ def object_textures(word_map, *, num_objects: int, ph: int, pw: int,
 
 
 def render_item(objs, img_rng, *, obj_tex, word_map, height, width, grid,
-                bg_scale, max_len, name):
+                bg_scale, max_len, name, caption_objs=None):
     """One corpus image + its 5 template references for a given (sorted)
     object list; draws background then slots from ``img_rng`` (that order is
-    load-bearing for reproducing the committed corpora)."""
+    load-bearing for reproducing the committed corpora).
+
+    ``caption_objs`` decouples what the captions NAME from what the image
+    SHOWS (annotation-bias hallucination corpora); default: the rendered
+    objects."""
+    from synthetic_quality import format_caption
+
     from lrp_imagecaptioning_tpu.data.vocab import encode_caption
 
     ph, pw = height // grid, width // grid
@@ -84,7 +90,8 @@ def render_item(objs, img_rng, *, obj_tex, word_map, height, width, grid,
     for w, s in zip(objs, slots):
         r, c = divmod(int(s), grid)
         img[r * ph:(r + 1) * ph, c * pw:(c + 1) * pw] += obj_tex[w]
-    caps = [t.format(*objs).split(" ") for t in TEMPLATES]
+    caps = [format_caption(caption_objs or objs, i).split(" ")
+            for i in range(len(TEMPLATES))]
     encs, lens = zip(*(encode_caption(c, word_map, max_len) for c in caps))
     base = {
         "image_path": name,
