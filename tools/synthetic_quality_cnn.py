@@ -248,6 +248,10 @@ def main(argv=None):
     p.add_argument("--embed-dim", type=int, default=512)
     p.add_argument("--wordmap", default="dataset/wordmap_flickr30k.json")
     p.add_argument("--runs", default="frozen,finetune,resnet")
+    p.add_argument("--model", default="gridtd",
+                   choices=["gridtd", "aoa", "adaptive"],
+                   help="decoder family (result keys are prefixed for "
+                        "non-gridtd so family runs can merge into one JSON)")
     p.add_argument("--sharp-epochs", type=int, default=30)
     p.add_argument("--sharp-objects", type=int, default=24)
     p.add_argument("--sharp-height", type=int, default=64)
@@ -280,8 +284,10 @@ def main(argv=None):
     def run(name, encoder, finetune, epochs, train_ds, val_ds,
             height=None, exact_match=False):
         height = height or args.height
+        if args.model != "gridtd":
+            name = f"{args.model}_{name}"
         model = ModelConfig(
-            model_type="gridtd", encoder=encoder,
+            model_type=args.model, encoder=encoder,
             embed_dim=args.embed_dim, hidden_dim=args.hidden_dim,
             vocab_size=len(word_map), height=height, width=height,
             vocab_pad_multiple=128,
