@@ -252,6 +252,10 @@ def main(argv=None):
                    choices=["gridtd", "aoa", "adaptive"],
                    help="decoder family (result keys are prefixed for "
                         "non-gridtd so family runs can merge into one JSON)")
+    p.add_argument("--save-params", default="",
+                   help="directory to save each run's final params (Orbax "
+                        "StandardCheckpointer, one subdir per run name) — "
+                        "feeds export_torch.py / bench --params-checkpoint")
     p.add_argument("--sharp-epochs", type=int, default=30)
     p.add_argument("--sharp-objects", type=int, default=24)
     p.add_argument("--sharp-height", type=int, default=64)
@@ -313,6 +317,13 @@ def main(argv=None):
         if encoder.startswith("resnet"):
             entry["bn_stat_drift"] = bn_stat_drift(init_bn,
                                                    st.params.encoder)
+        if args.save_params:
+            import orbax.checkpoint as ocp
+            path = os.path.abspath(os.path.join(args.save_params, name))
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(path, st.params)
+            entry["params_path"] = path
+            print("saved params:", path, flush=True)
         if exact_match:
             entry.update(convergence_stats(tr, st, val_ds))
         results[name] = entry
