@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cider-tune", action="store_true")
     p.add_argument("--lrp-tune", action="store_true")
     p.add_argument("--lrp-cider-tune", action="store_true")
+    p.add_argument("--scst-ce-weight", type=float, default=0.0,
+                   help="beyond-reference guard for the SCST modes: add "
+                        "w * teacher-forced CE to the reward loss (0.0 = "
+                        "exact reference behavior; w=1.0 eliminated the "
+                        "recorded saturated-task collapse, docs/QUALITY.md)")
     p.add_argument("--save-path", type=str, default="./output")
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--resume-best", action="store_true",
@@ -84,6 +89,7 @@ def config_from_args(args) -> "ExperimentConfig":
                 ss_prob=args.ss_prob, finetune_encoder=args.finetune_encoder,
                 cider_tune=args.cider_tune, lrp_tune=args.lrp_tune,
                 lrp_cider_tune=args.lrp_cider_tune,
+                scst_ce_weight=args.scst_ce_weight,
                 print_freq=args.print_freq, seed=args.seed,
             ),
             mesh=MeshConfig(data_parallel=args.data_parallel,
