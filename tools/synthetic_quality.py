@@ -67,9 +67,20 @@ def format_caption(objs, style: int) -> str:
 
 def build_corpus(word_map, *, num_train: int, num_val: int, feat_dim: int,
                  num_regions: int, num_objects: int, seed: int = 0,
-                 max_len: int = 14):
+                 max_len: int = 14, num_phantoms: int = 0,
+                 inject_p: float = 0.0):
     """Images = 3 objects placed in region slots; captions name them in
-    canonical (word-id) order via 5 templates."""
+    canonical (word-id) order via 5 templates.
+
+    ``num_phantoms > 0`` reserves that many object words as annotation-bias
+    PHANTOMS: each appears in training captions with prob ``inject_p`` (at
+    its canonical position) but never receives a feature vector in any image
+    — the evidence-free frequent-word regime the reference's LRP-inference
+    weighting targets ("improve the mAP of frequent object words",
+    Readme.md:9).  Val references stay clean, so ``count_hallucinate_words``
+    measures phantom emissions as FPs exactly like the reference's mAP
+    analyzer (evaluation.py:1426-1494).  With ``num_phantoms=0`` the rng
+    stream (hence the corpus) is unchanged."""
     from lrp_imagecaptioning_tpu.data.dataset import CaptionDataset
     from lrp_imagecaptioning_tpu.data.vocab import encode_caption
 
@@ -81,21 +92,32 @@ def build_corpus(word_map, *, num_train: int, num_val: int, feat_dim: int,
     obj_words = list(rng.choice(candidates, size=num_objects, replace=False))
     obj_vecs = {w: rng.normal(size=feat_dim).astype(np.float32)
                 for w in obj_words}
+    phantoms = obj_words[:num_phantoms]  # reserved: never placed in features
+    pool = obj_words[num_phantoms:]
+    n_injected = 0
 
-    def make_items(n, offset):
+    def make_items(n, offset, inject=False):
+        nonlocal n_injected
         img_rng = np.random.default_rng(seed + 1 + offset)
         train_items, eval_items = [], []
         per_obj = num_regions // 3
         for i in range(n):
             objs = sorted(
-                img_rng.choice(obj_words, size=3, replace=False),
+                img_rng.choice(pool, size=3, replace=False),
                 key=lambda w: word_map[w],
             )
             feats = img_rng.normal(
                 size=(num_regions, feat_dim)).astype(np.float32) * 0.1
             for j, w in enumerate(objs):
                 feats[j * per_obj:(j + 1) * per_obj] += obj_vecs[w]
-            caps = [t.format(*objs).split(" ") for t in TEMPLATES]
+            cap_objs = objs
+            if inject and img_rng.random() < inject_p:
+                cap_objs = sorted(
+                    objs + [phantoms[int(img_rng.integers(num_phantoms))]],
+                    key=lambda w: word_map[w])
+                n_injected += 1
+            caps = [format_caption(cap_objs, s).split(" ")
+                    for s in range(len(TEMPLATES))]
             encs, lens = zip(*(encode_caption(c, word_map, max_len)
                                for c in caps))
             base = {
@@ -109,12 +131,14 @@ def build_corpus(word_map, *, num_train: int, num_val: int, feat_dim: int,
             eval_items.append({**base, "caption_len": [int(x) for x in lens]})
         return train_items, eval_items
 
-    train_items, _ = make_items(num_train, 0)
+    train_items, _ = make_items(num_train, 0, inject=num_phantoms > 0)
     _, val_items = make_items(num_val, 10_000_000)
     kw = dict(from_features=False, num_regions=num_regions, feat_dim=feat_dim,
               seed=seed)
+    groups = {"phantoms": phantoms, "pool": pool,
+              "inject_rate": n_injected / max(num_train, 1)}
     return (CaptionDataset(train_items, "train", **kw),
-            CaptionDataset(val_items, "val", **kw))
+            CaptionDataset(val_items, "val", **kw), groups)
 
 
 def sample_captions(trainer, state, ds, n=3, beam_size=3, max_cap_length=14):
@@ -144,6 +168,64 @@ def sample_captions(trainer, state, ds, n=3, beam_size=3, max_cap_length=14):
     return out
 
 
+def decode_all(trainer, state, ds, beam_size=3, max_cap_length=14):
+    """filename -> (prediction string, [reference strings]) for the full
+    eval split (beam decode)."""
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.data.vocab import decode_to_words
+
+    cap = trainer.captioner
+    out = {}
+    for eb in ds.eval_batches(trainer.tcfg.batch_size):
+        feats = cap.encode(state.params, jnp.asarray(eb.images))
+        res = cap.beam_search_batch(state.params, feats, trainer.word_map,
+                                    beam_size=beam_size,
+                                    max_cap_length=max_cap_length)
+        toks = np.asarray(res.tokens)
+        lens = np.asarray(res.length)
+        all_caps = np.asarray(eb.all_captions)
+        for j in range(len(eb.filenames)):
+            if not eb.valid[j]:
+                continue
+            pred = " ".join(decode_to_words(toks[j][: lens[j]],
+                                            trainer.word_map))
+            refs = [" ".join(decode_to_words(enc, trainer.word_map))
+                    for enc in all_caps[j]]
+            out[eb.filenames[j]] = (pred, refs)
+    return out
+
+
+def hallucination_map(trainer, state, ds, groups) -> dict:
+    """The reference's headline fine-tuning metric — macro mAP / recall / F1
+    of object words over the decoded val split (``count_hallucinate_words``,
+    evaluation.py:1426-1494) — plus per-phantom emission rates.  Categories =
+    the phantoms + every pool word present in a val reference (the
+    reference's analyzer takes its frequent-object list)."""
+    from lrp_imagecaptioning_tpu.evaluation.analyze import (
+        count_hallucinate_words,
+    )
+
+    decoded = decode_all(trainer, state, ds)
+    predictions = {k: [v[0]] for k, v in decoded.items()}
+    references = {k: v[1] for k, v in decoded.items()}
+    ref_vocab = {w for refs in references.values()
+                 for s in refs for w in s.split(" ")}
+    categories = list(groups["phantoms"]) + sorted(
+        w for w in groups.get("pool", []) if w in ref_vocab)
+    if not groups.get("pool"):
+        categories = list(groups["phantoms"]) + sorted(
+            ref_vocab - {"a", "and", "the", "with"})
+    mpa, mrc, mf1 = count_hallucinate_words(predictions, references,
+                                            categories)
+    n = max(len(predictions), 1)
+    rates = {ph: sum(ph in p[0].split(" ") for p in predictions.values()) / n
+             for ph in groups["phantoms"]}
+    return {"mAP": mpa, "mRecall": mrc, "mF1": mf1,
+            "num_categories": len(categories),
+            "phantom_emission_rate": rates}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="output/quality.json")
@@ -159,6 +241,11 @@ def main(argv=None):
     p.add_argument("--modes", default="xe,cider,lrp,lrp_cider")
     p.add_argument("--scst-ce-weight", type=float, default=0.2)
     p.add_argument("--wordmap", default="dataset/wordmap_flickr30k.json")
+    p.add_argument("--num-phantoms", type=int, default=0,
+                   help="annotation-bias phantom words (never in features, "
+                        "in --inject-p of train captions); enables the "
+                        "count_hallucinate_words mAP readout per mode")
+    p.add_argument("--inject-p", type=float, default=0.75)
     args = p.parse_args(argv)
 
     import jax
@@ -176,12 +263,15 @@ def main(argv=None):
         embed_dim=args.embed_dim, hidden_dim=args.hidden_dim,
         vocab_size=len(word_map), num_pixels=36, vocab_pad_multiple=128,
     )
-    train_ds, val_ds = build_corpus(
+    train_ds, val_ds, groups = build_corpus(
         word_map, num_train=args.train_images, num_val=args.val_images,
         feat_dim=model.bu_feat_dim, num_regions=36,
         num_objects=args.num_objects,
+        num_phantoms=args.num_phantoms, inject_p=args.inject_p,
     )
-    print(f"corpus: {len(train_ds)} train pairs, {len(val_ds)} val images")
+    print(f"corpus: {len(train_ds)} train pairs, {len(val_ds)} val images"
+          + (f", phantoms={groups['phantoms']} inject_rate="
+             f"{groups['inject_rate']:.3f}" if args.num_phantoms else ""))
 
     def make_trainer(**tkw):
         t = TrainConfig(batch_size=args.batch_size, max_caption_len=16,
@@ -196,7 +286,11 @@ def main(argv=None):
     results = {"config": {"vocab": len(word_map),
                           "hidden": args.hidden_dim,
                           "train_pairs": len(train_ds),
-                          "val_images": len(val_ds)}}
+                          "val_images": len(val_ds),
+                          "num_phantoms": args.num_phantoms,
+                          "inject_p": args.inject_p,
+                          "phantoms": list(groups["phantoms"]),
+                          "inject_rate": groups["inject_rate"]}}
     state = None
     xe_cider = None
 
@@ -211,6 +305,11 @@ def main(argv=None):
             "seconds": time.time() - t0,
             "samples": sample_captions(tr, state, val_ds),
         }
+        if args.num_phantoms:
+            results["xe"]["hallucination"] = hallucination_map(
+                tr, state, val_ds, groups)
+            print("XE halluc:",
+                  json.dumps(results["xe"]["hallucination"], default=float))
         xe_cider = results["xe"]["final_cider"]
         print("XE:", json.dumps(results["xe"]["history"][-1]))
 
@@ -232,8 +331,18 @@ def main(argv=None):
             "seconds": time.time() - t0,
             "samples": sample_captions(tr, st, val_ds),
         }
+        if args.num_phantoms:
+            results[mode_name]["hallucination"] = hallucination_map(
+                tr, st, val_ds, groups)
+            print(mode_name + " halluc:",
+                  json.dumps(results[mode_name]["hallucination"],
+                             default=float))
         print(mode_name + ":", json.dumps(hist[-1]))
 
+    if "xe_cont" in modes:
+        # same-budget XE continuation control: attributes any fine-tune
+        # branch's movement to the mode rather than to more training
+        finetune("xe_cont", {}, args.lrp_epochs)
     if "cider" in modes:
         finetune("cider_tune", {"cider_tune": True}, args.cider_epochs)
     if "cider_ce" in modes:
