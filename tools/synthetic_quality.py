@@ -68,7 +68,7 @@ def format_caption(objs, style: int) -> str:
 def build_corpus(word_map, *, num_train: int, num_val: int, feat_dim: int,
                  num_regions: int, num_objects: int, seed: int = 0,
                  max_len: int = 14, num_phantoms: int = 0,
-                 inject_p: float = 0.0):
+                 inject_p: float = 0.0, phantom_present_p: float = 0.0):
     """Images = 3 objects placed in region slots; captions name them in
     canonical (word-id) order via 5 templates.
 
@@ -80,7 +80,17 @@ def build_corpus(word_map, *, num_train: int, num_val: int, feat_dim: int,
     Readme.md:9).  Val references stay clean, so ``count_hallucinate_words``
     measures phantom emissions as FPs exactly like the reference's mAP
     analyzer (evaluation.py:1426-1494).  With ``num_phantoms=0`` the rng
-    stream (hence the corpus) is unchanged."""
+    stream (hence the corpus) is unchanged.
+
+    ``phantom_present_p > 0`` upgrades phantoms to biased FREQUENT words:
+    each image (both splits) genuinely renders a phantom with that
+    probability (features + truthful captions), while caption-only injection
+    still applies to phantom-absent train images.  A measured run showed the
+    never-grounded variant is invisible to the reference's mAP (a category
+    absent from every reference scores precision 0 at ANY emission rate —
+    only its emission rate moves); the frequent-word variant gives the
+    phantom a measurable per-category precision = P(present | emitted), the
+    quantity the reference's claim is actually about."""
     from lrp_imagecaptioning_tpu.data.dataset import CaptionDataset
     from lrp_imagecaptioning_tpu.data.vocab import encode_caption
 
@@ -102,16 +112,23 @@ def build_corpus(word_map, *, num_train: int, num_val: int, feat_dim: int,
         train_items, eval_items = [], []
         per_obj = num_regions // 3
         for i in range(n):
-            objs = sorted(
-                img_rng.choice(pool, size=3, replace=False),
-                key=lambda w: word_map[w],
-            )
+            rendered_phantom = None
+            if num_phantoms and phantom_present_p > 0 \
+                    and img_rng.random() < phantom_present_p:
+                rendered_phantom = phantoms[int(
+                    img_rng.integers(num_phantoms))]
+            k = 3 - (rendered_phantom is not None)
+            objs = list(img_rng.choice(pool, size=k, replace=False))
+            if rendered_phantom is not None:
+                objs.append(rendered_phantom)
+            objs = sorted(objs, key=lambda w: word_map[w])
             feats = img_rng.normal(
                 size=(num_regions, feat_dim)).astype(np.float32) * 0.1
             for j, w in enumerate(objs):
                 feats[j * per_obj:(j + 1) * per_obj] += obj_vecs[w]
             cap_objs = objs
-            if inject and img_rng.random() < inject_p:
+            if inject and rendered_phantom is None \
+                    and img_rng.random() < inject_p:
                 cap_objs = sorted(
                     objs + [phantoms[int(img_rng.integers(num_phantoms))]],
                     key=lambda w: word_map[w])
@@ -221,9 +238,16 @@ def hallucination_map(trainer, state, ds, groups) -> dict:
     n = max(len(predictions), 1)
     rates = {ph: sum(ph in p[0].split(" ") for p in predictions.values()) / n
              for ph in groups["phantoms"]}
+    # the claim lives at the phantom's own category: precision =
+    # P(genuinely present | emitted) under the reference's counting
+    per_phantom = {}
+    for ph in groups["phantoms"]:
+        pp, pr, pf = count_hallucinate_words(predictions, references, [ph])
+        per_phantom[ph] = {"precision": pp, "recall": pr, "f1": pf}
     return {"mAP": mpa, "mRecall": mrc, "mF1": mf1,
             "num_categories": len(categories),
-            "phantom_emission_rate": rates}
+            "phantom_emission_rate": rates,
+            "per_phantom": per_phantom}
 
 
 def main(argv=None):
@@ -246,6 +270,10 @@ def main(argv=None):
                         "in --inject-p of train captions); enables the "
                         "count_hallucinate_words mAP readout per mode")
     p.add_argument("--inject-p", type=float, default=0.75)
+    p.add_argument("--phantom-present-p", type=float, default=0.0,
+                   help="biased FREQUENT-word mode: phantoms are genuinely "
+                        "rendered in this fraction of images (both splits) "
+                        "so their per-category precision is measurable")
     args = p.parse_args(argv)
 
     import jax
@@ -268,6 +296,7 @@ def main(argv=None):
         feat_dim=model.bu_feat_dim, num_regions=36,
         num_objects=args.num_objects,
         num_phantoms=args.num_phantoms, inject_p=args.inject_p,
+        phantom_present_p=args.phantom_present_p,
     )
     print(f"corpus: {len(train_ds)} train pairs, {len(val_ds)} val images"
           + (f", phantoms={groups['phantoms']} inject_rate="
@@ -289,6 +318,7 @@ def main(argv=None):
                           "val_images": len(val_ds),
                           "num_phantoms": args.num_phantoms,
                           "inject_p": args.inject_p,
+                          "phantom_present_p": args.phantom_present_p,
                           "phantoms": list(groups["phantoms"]),
                           "inject_rate": groups["inject_rate"]}}
     state = None
