@@ -222,3 +222,93 @@ def test_annotation_injected_caption_names_rendered_plus_phantom(
             "caption words must be the rendered objects plus at most the "
             "phantom")
         assert rendered <= enc, "every rendered object is named"
+
+
+# ------------------------------------------------------------- BU phantoms
+
+
+@pytest.fixture(scope="module")
+def bu_reserved(word_map):
+    from synthetic_quality import build_corpus
+
+    return build_corpus(
+        word_map, num_train=60, num_val=30, feat_dim=32, num_regions=36,
+        num_objects=12, num_phantoms=1, inject_p=0.8)
+
+
+@pytest.fixture(scope="module")
+def bu_frequent(word_map):
+    from synthetic_quality import build_corpus
+
+    return build_corpus(
+        word_map, num_train=80, num_val=40, feat_dim=32, num_regions=36,
+        num_objects=12, num_phantoms=1, inject_p=0.8,
+        phantom_present_p=0.3)
+
+
+def _caption_ids(item):
+    return {int(t) for t in item["encoded_cap"]}
+
+
+def test_bu_default_has_no_phantoms(word_map):
+    from synthetic_quality import build_corpus
+
+    train_ds, val_ds, groups = build_corpus(
+        word_map, num_train=4, num_val=2, feat_dim=16, num_regions=36,
+        num_objects=9)
+    assert groups["phantoms"] == [] and groups["inject_rate"] == 0.0
+    # every caption word is a template word, special, or pool object
+    ok = ({word_map[w] for w in groups["pool"]}
+          | {word_map[w] for w in ("a", "and", "the", "with")}
+          | {word_map.pad, word_map.start, word_map.end})
+    for item in train_ds.items:
+        assert _caption_ids(item) <= ok
+
+
+def test_bu_reserved_phantom_in_train_captions_only(bu_reserved, word_map):
+    train_ds, val_ds, groups = bu_reserved
+    ph_ids = {word_map[w] for w in groups["phantoms"]}
+    assert 0.5 < groups["inject_rate"] <= 1.0
+    n_inj = sum(bool(_caption_ids(item) & ph_ids)
+                for item in train_ds.items)
+    assert n_inj > 0, "phantom must appear in train captions"
+    for item in val_ds.items:
+        for cap in item["encoded_all_caps"]:
+            assert not (set(map(int, cap)) & ph_ids), (
+                "reserved-mode val references must stay clean")
+
+
+def test_bu_frequent_phantom_rendered_and_injected(bu_frequent, word_map):
+    """Frequent mode: the phantom is genuinely present (features + truthful
+    refs) in ~present_p of val images, and injected into captions of
+    phantom-absent train images — so P(present | emitted) is measurable."""
+    train_ds, val_ds, groups = bu_frequent
+    ph = groups["phantoms"][0]
+    ph_id = word_map[ph]
+    n_val_present = sum(
+        any(ph_id in set(map(int, cap)) for cap in item["encoded_all_caps"])
+        for item in val_ds.items)
+    assert 0.1 * len(val_ds.items) <= n_val_present <= 0.6 * len(
+        val_ds.items), "phantom must be genuinely present in ~30% of val"
+    # train: injected captions exist on phantom-absent images; per-item
+    # features of present images must carry the phantom's vector region
+    # (approximate check: presence in the FIRST reference caption implies
+    # it was rendered OR injected — count both kinds exist)
+    first_cap_present = [ph_id in set(map(int, item["encoded_all_caps"][0]))
+                         for item in train_ds.items]
+    assert any(first_cap_present) and not all(first_cap_present)
+
+
+def test_bu_phantom_modes_leave_pool_stream_unchanged(word_map):
+    """num_phantoms=0 must reproduce the exact legacy corpus stream; adding
+    phantoms must not disturb which POOL objects a given image renders when
+    the phantom draw does not fire (spot-check via shared seed)."""
+    from synthetic_quality import build_corpus
+
+    kw = dict(num_train=5, num_val=3, feat_dim=16, num_regions=36,
+              num_objects=9, seed=7)
+    a = build_corpus(word_map, **kw)
+    b = build_corpus(word_map, **kw)
+    for x, y in zip(a[0].items, b[0].items):
+        assert x["encoded_cap"] == y["encoded_cap"]
+        np.testing.assert_array_equal(x["image_array"], y["image_array"])
