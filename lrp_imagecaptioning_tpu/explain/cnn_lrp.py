@@ -131,6 +131,73 @@ def first_winner_mask(x: jax.Array) -> jax.Array:
     return first.reshape(b, h, w, c)
 
 
+_TAPS3 = tuple((dy, dx) for dy in range(3) for dx in range(3))
+
+
+def _conv_tap_matrix(w: jax.Array, *, clamped: bool) -> jax.Array:
+    """Pack a 3x3 HWIO kernel into one GEMM right-operand for the
+    tap-unrolled data-grad (see ``_tap_conv_transpose``).
+
+    ``clamped=True`` packs BOTH weight branches of the alpha-beta rule's
+    clamped forward: columns ``[2*Cin*t : 2*Cin*t+Cin]`` hold
+    ``max(w,0)[dy,dx]`` and the next ``Cin`` hold ``min(w,0)[dy,dx]`` for tap
+    ``t = 3*dy+dx`` — (Cout, 18*Cin).  ``clamped=False`` packs the plain
+    kernel — (Cout, 9*Cin)."""
+    w = w.astype(jnp.float32)
+    branches = ((jnp.maximum(w, 0.0), jnp.minimum(w, 0.0)) if clamped
+                else (w,))
+    cols = []
+    for dy, dx in _TAPS3:
+        for b in branches:
+            cols.append(b[dy, dx].T)  # (Cout, Cin)
+    return jnp.concatenate(cols, axis=1)
+
+
+def _tap_conv_transpose(s: jax.Array, tap_w: jax.Array, cin: int,
+                        *, clamped: bool):
+    """Data-grad of a 3x3/stride-1/SAME conv with TINY input channel count,
+    reformulated as ONE tap-unrolled GEMM.
+
+    A transposed 3x3 conv to Cin=3 output channels pads the MXU's 128 lanes
+    3 wide (~42x wasted FLOPs per branch — the roofline artifact put conv1_1
+    at 8% MXU while being half the walk).  Instead: a 3x3 transposed conv is
+    9 shifted 1x1 convs, so packing all 9 taps (and, for the clamped
+    alpha-beta backward, both +/- weight branches) into the GEMM's N
+    dimension gives one [M, Cout] @ [Cout, 9*branches*Cin] dot (54 columns
+    for conv1_1 — inside one 128-lane tile), followed by 9 spatially-shifted
+    adds.  Measured on v5e: wins isolated (1.32 -> 0.92 ms per 8-image x
+    8-word chunk, tools/bench_conv1_tapgemm.py) but LOSES in situ (see
+    ``make_vgg_lrp_backward``'s ``conv1_tap`` docs — the production stage
+    is HBM-bound and already operand-fused by XLA); default OFF.
+
+    ``s`` (B, H, W, Cout) is the upstream sensitivity; returns ``(gp, gn)``
+    (each (B, H, W, cin)) for ``clamped=True`` — the grads through the w+
+    and w- branches — or the single grad for ``clamped=False``."""
+    _, h, w_, _ = s.shape
+    # explicit one-pass precision: the explainer pins BF16_BF16_F32_X3 over
+    # the whole explain program (for the decoder-walk matmuls); the conv
+    # data-grads ignore it on this backend but THIS einsum would honor it
+    # and run 3 passes.  One bf16 pass is exactly what the conv_transpose
+    # it replaces executes (measured bit-identical across settings).
+    contrib = jnp.einsum("bhwk,kn->bhwn", s, tap_w,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.DEFAULT)
+    # materialize ONCE: without the barrier XLA may fuse the GEMM into each
+    # of the 9 shifted-slice consumers and recompute it per tap
+    contrib = jax.lax.optimization_barrier(contrib)
+    cp = jnp.pad(contrib, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    per_tap = (2 * cin) if clamped else cin
+    gp = 0.0
+    gn = 0.0
+    for t, (dy, dx) in enumerate(_TAPS3):
+        sl = cp[:, 2 - dy:2 - dy + h, 2 - dx:2 - dx + w_,
+                per_tap * t:per_tap * (t + 1)]
+        gp = gp + sl[..., :cin]
+        if clamped:
+            gn = gn + sl[..., cin:]
+    return (gp, gn) if clamped else gp
+
+
 def make_vgg_lrp_backward(
     params: VGGParams,
     image: jax.Array,  # (1, H, W, 3) — single image
@@ -140,6 +207,7 @@ def make_vgg_lrp_backward(
     r_dtype=jnp.float32,
     stash_dtype=None,
     fuse_stash: bool | None = None,
+    conv1_tap: bool | None = None,
 ):
     """Amortized per-caption CNN LRP: run the forward (and each rule's
     clamped-weight forward) ONCE, capture the per-layer vjp closures — which
@@ -176,8 +244,26 @@ def make_vgg_lrp_backward(
     to ``r_dtype`` (bf16 on TPU via the explainer auto-default, f32 on
     CPU/parity paths).  Winner masks are always stored as bool (1 byte,
     exact).
+
+    ``conv1_tap`` reformulates the data-grad of tiny-input-channel convs
+    (conv1_1's 64->3 clamped backward) as one tap-unrolled GEMM instead of
+    two transposed convs — see ``_tap_conv_transpose``.  Default OFF: a
+    measured NEGATIVE result in situ (v5e, production shapes).  Isolated,
+    the GEMM form wins 1.32 -> 0.92 ms per 8-image x 8-word chunk
+    (tools/bench_conv1_tapgemm.py) because with Cout=3 the MXU pads lanes
+    3 -> 128; but in the full walk the vjp form costs only 0.45 ms/img for
+    ALL 16 words (down_to-truncation A/B) — XLA operand-fuses the
+    r*zinv / x_in*grad elementwise chain into the conv_transposes and the
+    stage sits AT the HBM roofline (~26 MB/word of unavoidable operand
+    traffic).  The tap form materializes a 54-channel contrib map and
+    re-reads it for 9 shifted adds (~3x the traffic: measured 1.63 ms/img
+    in situ, headline 128.5 -> 110.0).  The stage is memory-bound, so the
+    GEMM's FLOP-efficiency win is irrelevant; neither explicit one-pass
+    precision nor an optimization barrier changes it (both tried).
     """
     stash_dtype = r_dtype if stash_dtype is None else stash_dtype
+    if conv1_tap is None:
+        conv1_tap = False
     # Fused-map path (opt-in, measured SLOWER): adjacent per-caption
     # multipliers in the walk — x_in of conv k and zinv of the conv visited
     # next, or a pool winner and the zinv below it — multiply the same
@@ -197,6 +283,33 @@ def make_vgg_lrp_backward(
     for layer in spec:
         if layer.kind == "conv":
             p = params.convs[layer.param_idx]
+            kh, kw, cin, _ = p.weight.shape
+            if (conv1_tap and not nonneg and (kh, kw) == (3, 3)
+                    and 18 * cin <= 128):
+                # tiny-Cin clamped backward -> tap-unrolled GEMM (conv1_1)
+                w_pos = ConvParams(
+                    jnp.maximum(p.weight, 0.0).astype(jnp.float32), None)
+                w_neg = ConvParams(
+                    jnp.minimum(p.weight, 0.0).astype(jnp.float32), None)
+                z = conv2d(w_pos, jnp.maximum(x, 0.0)) + conv2d(
+                    w_neg, jnp.minimum(x, 0.0))
+                zinv = 1.0 / (z + Z_EPSILON * (z == 0))
+                tap_w = _conv_tap_matrix(p.weight, clamped=True)
+                records.append(("conv_tap", x.astype(stash_dtype),
+                                zinv.astype(stash_dtype), tap_w))
+                if fuse_stash:
+                    # the fused path (opt-in negative result) keeps the vjp
+                    def pos_forward(xx, w_pos=w_pos, w_neg=w_neg):
+                        return conv2d(w_pos, jnp.maximum(xx, 0.0)) + conv2d(
+                            w_neg, jnp.minimum(xx, 0.0))
+
+                    f32_records.append(
+                        ("conv", x, zinv, jax.vjp(pos_forward, x)[1]))
+                else:
+                    f32_records.append(("conv", x, zinv, None))
+                x = conv2d(p, x)
+                nonneg = False
+                continue
             w_pos = ConvParams(jnp.maximum(p.weight, 0.0).astype(jnp.float32), None)
             if nonneg:
                 # post-relu input: relu(x) == x and min(x, 0) == 0, so the
@@ -292,6 +405,15 @@ def make_vgg_lrp_backward(
             if kind == "maxpool_fast":
                 r = jnp.where(x_in, _upsample2x(r.astype(jnp.float32)),
                               0.0).astype(r_dtype)
+                continue
+            if kind == "conv_tap":
+                # vjp slot holds the packed tap matrix; z the reciprocal
+                s = r.astype(jnp.float32) * z.astype(jnp.float32)
+                xf = x_in.astype(jnp.float32)
+                gp, gn = _tap_conv_transpose(
+                    s, vjp, xf.shape[-1], clamped=True)
+                r = (jnp.maximum(xf, 0.0) * gp
+                     + jnp.minimum(xf, 0.0) * gn).astype(r_dtype)
                 continue
             # z slot holds the stabilized reciprocal (see the stash loop)
             (grad,) = vjp(r.astype(jnp.float32) * z.astype(jnp.float32))

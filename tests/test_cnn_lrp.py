@@ -311,3 +311,24 @@ def test_guided_g_dtype_bf16_close_to_f32():
     scale = max(np.abs(f32_out).max(), 1e-12)
     rel = np.abs(bf_out - f32_out).max() / scale
     assert 0 <= rel < 3e-2, rel
+
+
+def test_conv1_tap_gemm_matches_vjp_form():
+    """Opt-in tap-unrolled GEMM conv1_1 backward (a recorded in-situ
+    NEGATIVE result, default OFF) must stay numerically equal to the vjp
+    form — exact to f32 rounding."""
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import make_vgg_lrp_backward
+    from lrp_imagecaptioning_tpu.models.encoders import init_vgg16
+
+    params = init_vgg16(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    seed = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 2, 512))
+    b_vjp, _ = make_vgg_lrp_backward(params, img, conv1_tap=False)
+    b_tap, _ = make_vgg_lrp_backward(params, img, conv1_tap=True)
+    r_vjp = np.asarray(b_vjp(seed))
+    r_tap = np.asarray(b_tap(seed))
+    scale = max(np.abs(r_vjp).max(), 1e-12)
+    assert np.abs(r_tap - r_vjp).max() / scale < 1e-5
+    # down_to truncation above conv1_1 is untouched by the flag
+    np.testing.assert_array_equal(
+        np.asarray(b_tap(seed, down_to=5)), np.asarray(b_vjp(seed, down_to=5)))
