@@ -104,6 +104,7 @@ class GridTDExplainerBase:
             "BF16_BF16_F32_X3" if jax.default_backend() in ("tpu", "axon")
             else None)
         self._core = jax.jit(self._explain_core)
+        self._batched_core_jit = None  # lazily-built, cached (serving reuses)
 
     # -- subclass hooks --------------------------------------------------
     def _make_stash(self, params, feats, tokens_in):
@@ -245,8 +246,12 @@ class GridTDExplainerBase:
         over an image batch (north-star metric, BASELINE.md).  When the
         fused block-1 kernel is enabled, the per-image vmap stops at the
         pool-1 relevance and one batched kernel call per word chunk
-        finishes the walk to pixels."""
-        return jax.jit(self._batched_core_fn())
+        finishes the walk to pixels.  The jitted callable is cached on the
+        explainer (config is fixed at construction), so repeated callers —
+        the serving engine, explain_batch_arrays — share one program."""
+        if self._batched_core_jit is None:
+            self._batched_core_jit = jax.jit(self._batched_core_fn())
+        return self._batched_core_jit
 
     def _batched_core_fn(self):
         """The unjitted batched program (for batched_core and the shard_map
@@ -336,31 +341,60 @@ class GridTDExplainerBase:
         return f
 
     # -- public API ------------------------------------------------------
-    def explain_caption_arrays(self, image: np.ndarray) -> CaptionExplanation:
-        """image: (1, H, W, 3) normalized float32.  Returns host arrays with
-        invalid word positions stripped."""
-        tokens, length, rel_imgs, r_words, alphas, preds, betas = self._core(
-            self.params, jnp.asarray(image)
-        )
-        tokens = np.asarray(tokens)
-        length = int(length)
-        # explained words: positions 1..length-1 of the beam sequence, minus
-        # the trailing <end> if present
+    def _split_caption(self, tokens: np.ndarray, length: int):
+        """Host-side caption slicing shared by every postprocess path:
+        explained words are positions 1..length-1 of the beam sequence,
+        minus the trailing <end> if present."""
         words_ids = tokens[1:length]
         t_count = len(words_ids)
         if t_count and words_ids[-1] == self.word_map.end:
             t_count -= 1
         rev = self.word_map.id_to_word
         caption = [rev.get(int(w), "<unk>") for w in words_ids[:t_count]]
+        return caption, t_count
+
+    def _postprocess_one(self, tokens, length, rel_imgs, r_words, alphas,
+                         preds, betas, *, img_hw: int | None = None):
+        """One image's host arrays (the core's output tuple) -> a
+        CaptionExplanation with invalid word positions stripped.  Subclasses
+        whose cores emit a different relevance payload (Guided Grad-CAM's
+        (guided, cams) pair, the all-heads explainer's head axis) override
+        this — both the single-image and batched public APIs route through
+        it."""
+        length = int(length)
+        caption, t_count = self._split_caption(tokens, length)
         return CaptionExplanation(
             caption=caption,
-            tokens=tokens[: length],
-            relevance_images=np.asarray(rel_imgs)[:t_count],
-            relevance_words=np.asarray(r_words)[:t_count, : t_count + 1],
-            alphas=np.asarray(alphas)[:t_count],
-            predictions=np.asarray(preds)[:t_count],
-            betas=np.asarray(betas)[:t_count],
+            tokens=tokens[:length],
+            relevance_images=rel_imgs[:t_count],
+            relevance_words=r_words[:t_count, : t_count + 1],
+            alphas=alphas[:t_count],
+            predictions=preds[:t_count],
+            betas=betas[:t_count],
         )
+
+    def explain_caption_arrays(self, image: np.ndarray):
+        """image: (1, H, W, 3) normalized float32.  Returns host arrays with
+        invalid word positions stripped."""
+        out = self._core(self.params, jnp.asarray(image))
+        host = jax.tree_util.tree_map(np.asarray, out)
+        return self._postprocess_one(*host, img_hw=int(image.shape[1]))
+
+    def explain_batch_arrays(self, images: np.ndarray):
+        """Batched public API: (B, H, W, 3) images (or (B, 36, D) region
+        features for the BU path) -> list of per-image CaptionExplanation.
+
+        One dispatch of the cached fixed-shape batched program (the
+        north-star throughput path) instead of B single-image dispatches —
+        the building block for the serving engine and batch evaluation."""
+        out = self.batched_core()(self.params, jnp.asarray(images))
+        host = jax.tree_util.tree_map(np.asarray, out)
+        img_hw = int(images.shape[1]) if not self.cap.cfg.is_bu else None
+        return [
+            self._postprocess_one(
+                *jax.tree_util.tree_map(lambda a: a[i], host), img_hw=img_hw)
+            for i in range(images.shape[0])
+        ]
 
     def explain_caption(
         self, img_filepath: str, *, save_path: str | None = None,
@@ -542,23 +576,11 @@ class AOAAllHeadsLrpExplainer(AOALrpExplainer):
             return out.reshape(n, *out.shape[2:])
         return jax.vmap(fn)(seeds)
 
-    def explain_caption_arrays(self, image):
+    def _postprocess_one(self, tokens, length, rel_imgs, r_words, alphas,
+                         preds, betas, *, img_hw=None):
         """Returns a LIST of per-head CaptionExplanation (shared caption)."""
-        (tokens, length, rel_imgs, r_words, alphas, preds,
-         betas) = self._core(self.params, jnp.asarray(image))
-        tokens = np.asarray(tokens)
         length = int(length)
-        words_ids = tokens[1:length]
-        t_count = len(words_ids)
-        if t_count and words_ids[-1] == self.word_map.end:
-            t_count -= 1
-        rev = self.word_map.id_to_word
-        caption = [rev.get(int(w), "<unk>") for w in words_ids[:t_count]]
-        rel_imgs = np.asarray(rel_imgs)
-        r_words = np.asarray(r_words)
-        alphas = np.asarray(alphas)
-        preds = np.asarray(preds)
-        betas = np.asarray(betas)
+        caption, t_count = self._split_caption(tokens, length)
         return [
             CaptionExplanation(
                 caption=caption,
@@ -633,35 +655,28 @@ class GuidedGradCamMixin:
         cams = jax.vmap(lambda d: grad_cam(feats.raw[0], d))(word_exp.r_img_feature)
         return guided, cams
 
-    def explain_caption_arrays(self, image):
-        (tokens, length, (guided, cams), r_words, alphas, preds,
-         betas) = self._core(self.params, jnp.asarray(image))
+    def _postprocess_one(self, tokens, length, rel, r_words, alphas, preds,
+                         betas, *, img_hw=None):
+        guided, cams = rel  # the core's relevance payload is a pair here
         from ..utils.viz import upscale_attention
 
-        guided = np.asarray(guided)
-        cams = np.asarray(cams)
         hw = int(np.sqrt(self.cap.cfg.num_pixels))
-        upscale = image.shape[1] // hw
+        upscale = (img_hw or guided.shape[1]) // hw
         expanded = np.stack([
             upscale_attention(c, (hw, hw), upscale=upscale, sigma=20.0)
             for c in cams
         ])
-        rel = guided * expanded[..., None]
-        tokens = np.asarray(tokens)
+        rel_imgs = guided * expanded[..., None]
         length = int(length)
-        words_ids = tokens[1:length]
-        t_count = len(words_ids)
-        if t_count and words_ids[-1] == self.word_map.end:
-            t_count -= 1
-        rev = self.word_map.id_to_word
+        caption, t_count = self._split_caption(tokens, length)
         return CaptionExplanation(
-            caption=[rev.get(int(w), "<unk>") for w in words_ids[:t_count]],
+            caption=caption,
             tokens=tokens[:length],
-            relevance_images=rel[:t_count],
-            relevance_words=np.asarray(r_words)[:t_count, : t_count + 1],
-            alphas=np.asarray(alphas)[:t_count],
-            predictions=np.asarray(preds)[:t_count],
-            betas=np.asarray(betas)[:t_count],
+            relevance_images=rel_imgs[:t_count],
+            relevance_words=r_words[:t_count, : t_count + 1],
+            alphas=alphas[:t_count],
+            predictions=preds[:t_count],
+            betas=betas[:t_count],
         )
 
 

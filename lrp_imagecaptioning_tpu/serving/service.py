@@ -1,0 +1,198 @@
+"""Model-facing serving services: batched caption decode and batched
+caption+explanation, each behind a :class:`~.engine.BatchingEngine`.
+
+Both services own ONE jitted fixed-shape program (compiled for
+``batch_size``); partial batches are padded by repeating the first request's
+input — identical work for the device, outputs of pad rows dropped — so a
+single compiled executable serves every load level (full-size TPU compiles
+take minutes through the remote helper; a bucket ladder would multiply that).
+
+The decode surface matches the reference's eval entry (``test.py:71-79``:
+greedy / beam; bad-ending stripping per ``gridTDmodel.py:21``/``aoamodel.py:22``)
+and the explanation surface is the explainer family built by
+``explain.build_explainer`` — the full per-word LRP/gradient/CAM pipeline as
+one program (``explain/explainer.py``).
+"""
+
+from __future__ import annotations
+
+import base64
+
+import jax
+import numpy as np
+
+from ..data.vocab import bad_endings_for, decode_to_words
+from .engine import BatchingEngine
+
+
+def _pad_batch(arrays: list[np.ndarray], batch: int) -> np.ndarray:
+    stacked = np.stack(arrays)
+    if len(arrays) < batch:
+        pad = np.repeat(stacked[:1], batch - len(arrays), axis=0)
+        stacked = np.concatenate([stacked, pad], axis=0)
+    return stacked
+
+
+class _ServiceBase:
+    """Shared input validation + engine plumbing."""
+
+    def __init__(self, captioner, *, batch_size: int, max_delay_s: float,
+                 name: str):
+        cfg = captioner.cfg
+        self.cap = captioner
+        self.batch_size = batch_size
+        if cfg.is_bu:
+            self.input_shape = (36, cfg.bu_feat_dim)
+        else:
+            self.input_shape = (cfg.height, cfg.width, 3)
+        self.engine = BatchingEngine(
+            self._run_batch, batch_size, max_delay_s=max_delay_s, name=name)
+
+    # lifecycle
+    def start(self):
+        self.engine.start()
+        return self
+
+    def stop(self):
+        self.engine.stop()
+
+    def stats(self) -> dict:
+        return self.engine.stats()
+
+    def _check(self, image: np.ndarray) -> np.ndarray:
+        image = np.asarray(image, np.float32)
+        if image.shape != self.input_shape:
+            raise ValueError(
+                f"expected input shape {self.input_shape}, got {image.shape}")
+        return image
+
+    def submit(self, image: np.ndarray):
+        """Enqueue one request; returns a concurrent.futures.Future."""
+        return self.engine.submit(self._check(image))
+
+    def __call__(self, image: np.ndarray):
+        """Blocking single-request convenience."""
+        return self.submit(image).result()
+
+    def warmup(self) -> None:
+        """Compile the program before taking traffic (one dummy batch)."""
+        dummy = [np.zeros(self.input_shape, np.float32)] * self.batch_size
+        self._run_batch(dummy)
+
+    def _run_batch(self, payloads: list[np.ndarray]) -> list:
+        raise NotImplementedError
+
+
+class CaptionService(_ServiceBase):
+    """Batched caption decode: images (or BU region features) -> word lists.
+
+    ``decode='beam'`` (default, beam_size per the reference's eval default)
+    runs the vmapped fixed-shape beam search; ``'greedy'`` the batched greedy
+    scan.  Bad trailing function words are stripped like the reference's
+    eval path (``remove_bad_endings`` semantics via decode_to_words +
+    bad_endings_for)."""
+
+    def __init__(self, captioner, params, word_map, *, batch_size: int = 8,
+                 decode: str = "beam", beam_size: int = 3,
+                 max_cap_length: int = 20, max_delay_s: float = 0.005,
+                 strip_bad_endings: bool = True):
+        super().__init__(captioner, batch_size=batch_size,
+                         max_delay_s=max_delay_s, name="caption")
+        if decode not in ("beam", "greedy"):
+            raise ValueError(f"decode must be 'beam' or 'greedy', got {decode!r}")
+        self.params = params
+        self.word_map = word_map
+        self.decode = decode
+        self.bad_endings = (
+            set(bad_endings_for(captioner.cfg.model_type))
+            if strip_bad_endings else set())
+        cap = captioner
+
+        def core(params, images):
+            feats = cap.encode(params, images)
+            if decode == "greedy":
+                res = cap.greedy(params, feats, word_map,
+                                 max_cap_length=max_cap_length)
+                return res.tokens
+            res = cap.beam_search_batch(params, feats, word_map,
+                                        beam_size=beam_size,
+                                        max_cap_length=max_cap_length)
+            return res.tokens, res.length
+
+        self._core = jax.jit(core)
+
+    def _words(self, ids: np.ndarray) -> list[str]:
+        words = decode_to_words(list(ids), self.word_map)
+        # remove_bad_endings semantics (gridTDmodel.py:284-302): keep the
+        # original if trimming would empty the sentence
+        trimmed = list(words)
+        while trimmed and trimmed[-1] in self.bad_endings:
+            trimmed.pop()
+        return trimmed if trimmed else words
+
+    def _run_batch(self, payloads):
+        images = _pad_batch(payloads, self.batch_size)
+        out = self._core(self.params, images)
+        k = len(payloads)
+        if self.decode == "greedy":
+            tokens = np.asarray(out)
+            return [{"caption": self._words(tokens[i])} for i in range(k)]
+        tokens, length = (np.asarray(x) for x in out)
+        return [
+            {"caption": self._words(tokens[i, : int(length[i])]),
+             "length": int(length[i])}
+            for i in range(k)
+        ]
+
+
+class ExplainService(_ServiceBase):
+    """Batched caption + per-word explanation: one dispatch of the
+    explainer's cached fixed-shape batched program per coalesced batch.
+    Results are CaptionExplanation (or a per-head list for the all-heads
+    explainer)."""
+
+    def __init__(self, explainer, *, batch_size: int = 8,
+                 max_delay_s: float = 0.005):
+        super().__init__(explainer.cap, batch_size=batch_size,
+                         max_delay_s=max_delay_s, name="explain")
+        self.explainer = explainer
+
+    def _run_batch(self, payloads):
+        images = _pad_batch(payloads, self.batch_size)
+        return self.explainer.explain_batch_arrays(images)[: len(payloads)]
+
+
+def _b64(arr: np.ndarray) -> dict:
+    arr = np.ascontiguousarray(arr, np.float32)
+    return {"b64": base64.b64encode(arr.tobytes()).decode("ascii"),
+            "shape": list(arr.shape), "dtype": "float32"}
+
+
+def explanation_payload(exp, *, include_relevance: bool = False) -> dict:
+    """JSON-friendly rendering of a CaptionExplanation (or per-head list).
+
+    Full relevance maps are large ((T, H, W, 3) float32); by default only
+    per-word summary statistics ship, ``include_relevance=True`` adds the
+    raw arrays as base64 float32 (shape-tagged)."""
+    if isinstance(exp, list):  # all-heads explainer: one entry per head
+        return {"heads": [
+            explanation_payload(e, include_relevance=include_relevance)
+            for e in exp
+        ]}
+    rel = np.asarray(exp.relevance_images, np.float32)
+    axes = tuple(range(1, rel.ndim))
+    out = {
+        "caption": exp.caption,
+        "tokens": [int(t) for t in exp.tokens],
+        "relevance_words": np.asarray(exp.relevance_words, np.float32).tolist(),
+        "betas": np.asarray(exp.betas, np.float32).tolist(),
+        "relevance_stats": {
+            "sum": np.sum(rel, axis=axes).tolist(),
+            "max": (np.max(rel, axis=axes).tolist() if rel.size else []),
+            "min": (np.min(rel, axis=axes).tolist() if rel.size else []),
+        },
+    }
+    if include_relevance:
+        out["relevance_images"] = _b64(rel)
+        out["alphas"] = _b64(np.asarray(exp.alphas))
+    return out
