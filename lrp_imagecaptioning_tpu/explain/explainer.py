@@ -105,6 +105,7 @@ class GridTDExplainerBase:
             else None)
         self._core = jax.jit(self._explain_core)
         self._batched_core_jit = None  # lazily-built, cached (serving reuses)
+        self._summary_core_jit = None  # lazily-built, cached (serving reuses)
 
     # -- subclass hooks --------------------------------------------------
     def _make_stash(self, params, feats, tokens_in):
@@ -298,6 +299,38 @@ class GridTDExplainerBase:
             return (tokens, length, rel, r_words, alpha, preds, beta)
 
         return f
+
+    def batched_summary_core(self):
+        """jitted (params, images) -> (tokens, length, rel_stats, r_words,
+        betas) with ``rel_stats`` = per-word (sum, max, min) of the pixel
+        relevance, reduced ON DEVICE — the serving summary path: the default
+        ``/explain`` response ships only these statistics
+        (``serving/service.py:explanation_payload``), so the full
+        (B, T, H, W, 3) maps and (T, V) logits never leave HBM.  Cuts the
+        per-batch device->host transfer from ~77 MB to ~50 KB at the
+        headline shape.  Only defined for cores whose relevance payload is a
+        single per-word array (every family except Guided Grad-CAM's
+        (guided, cams) pair and the all-heads explainer's per-head axis —
+        their postprocessing is host-side)."""
+        if type(self)._postprocess_one is not GridTDExplainerBase._postprocess_one:
+            raise ValueError(
+                f"{type(self).__name__} has a composite relevance payload; "
+                "summary reduction supports the plain-array families only "
+                "(lrp / gradient / guided_gradient / grad_cam)")
+        if self._summary_core_jit is None:
+            core = self._batched_core_fn()
+
+            def f(params, images):
+                tokens, length, rel, r_words, _alphas, _preds, betas = core(
+                    params, images)
+                rel = rel.astype(jnp.float32)
+                axes = tuple(range(2, rel.ndim))
+                stats = jnp.stack(
+                    [rel.sum(axes), rel.max(axes), rel.min(axes)], axis=-1)
+                return tokens, length, stats, r_words, betas
+
+            self._summary_core_jit = jax.jit(f)
+        return self._summary_core_jit
 
     def batched_core_sharded(self, mesh, *, data_axis: str = "data"):
         """Data-parallel explanation over a device mesh — the v5e-8 scaling

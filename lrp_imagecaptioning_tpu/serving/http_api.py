@@ -85,6 +85,14 @@ def make_http_server(services: dict, host: str = "127.0.0.1",
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if (req.get("include_relevance")
+                        and getattr(svc, "payload", "full") == "summary"):
+                    self._reply(400, {
+                        "error": "this server runs payload='summary' "
+                                 "(relevance maps are reduced on device); "
+                                 "start serve.py --payload full to request "
+                                 "include_relevance"})
+                    return
                 image = decode_input(req["image"])
                 result = svc(image)  # blocks on the batcher's future
             except (KeyError, ValueError, json.JSONDecodeError) as exc:
@@ -93,7 +101,7 @@ def make_http_server(services: dict, host: str = "127.0.0.1",
             except Exception as exc:  # noqa: BLE001 — surface, don't die
                 self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
                 return
-            if name == "explain":
+            if name == "explain" and not isinstance(result, dict):
                 result = explanation_payload(
                     result,
                     include_relevance=bool(req.get("include_relevance")))

@@ -148,18 +148,60 @@ class CaptionService(_ServiceBase):
 class ExplainService(_ServiceBase):
     """Batched caption + per-word explanation: one dispatch of the
     explainer's cached fixed-shape batched program per coalesced batch.
-    Results are CaptionExplanation (or a per-head list for the all-heads
-    explainer)."""
+
+    ``payload="full"`` results are CaptionExplanation (or a per-head list
+    for the all-heads explainer) — every array on host, rendered by
+    :func:`explanation_payload`.
+
+    ``payload="summary"`` runs the explainer's device-side reduction
+    (``batched_summary_core``): per-word relevance (sum, max, min) computed
+    ON DEVICE, so the (B, T, H, W, 3) maps never transfer — results are the
+    JSON dicts :func:`explanation_payload` would produce for
+    ``include_relevance=False`` (same schema/values), at a fraction of the
+    device->host traffic.  Requests for raw maps can't be served in this
+    mode (the HTTP layer rejects ``include_relevance`` with a 400)."""
 
     def __init__(self, explainer, *, batch_size: int = 8,
-                 max_delay_s: float = 0.005):
+                 max_delay_s: float = 0.005, payload: str = "full"):
         super().__init__(explainer.cap, batch_size=batch_size,
                          max_delay_s=max_delay_s, name="explain")
+        if payload not in ("full", "summary"):
+            raise ValueError(
+                f"payload must be 'full' or 'summary', got {payload!r}")
         self.explainer = explainer
+        self.payload = payload
+        if payload == "summary":
+            # raises for composite-payload families (guided_grad_cam,
+            # lrp_all_heads) — fail at construction, not first request
+            self._summary_core = explainer.batched_summary_core()
 
     def _run_batch(self, payloads):
         images = _pad_batch(payloads, self.batch_size)
-        return self.explainer.explain_batch_arrays(images)[: len(payloads)]
+        if self.payload == "full":
+            return self.explainer.explain_batch_arrays(images)[: len(payloads)]
+        out = self._summary_core(self.explainer.params, images)
+        tokens, length, stats, r_words, betas = (np.asarray(x) for x in out)
+        return [
+            self._summary_result(tokens[i], int(length[i]), stats[i],
+                                 r_words[i], betas[i])
+            for i in range(len(payloads))
+        ]
+
+    def _summary_result(self, tokens, length, stats, r_words, betas) -> dict:
+        """Mirror explanation_payload(include_relevance=False) exactly."""
+        _caption, t = self.explainer._split_caption(tokens, length)
+        return {
+            "caption": _caption,
+            "tokens": [int(x) for x in tokens[:length]],
+            "relevance_words": np.asarray(
+                r_words[:t, : t + 1], np.float32).tolist(),
+            "betas": np.asarray(betas[:t], np.float32).tolist(),
+            "relevance_stats": {
+                "sum": stats[:t, 0].tolist(),
+                "max": stats[:t, 1].tolist(),
+                "min": stats[:t, 2].tolist(),
+            },
+        }
 
 
 def _b64(arr: np.ndarray) -> dict:

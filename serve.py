@@ -45,6 +45,13 @@ def main():
                     help="compiled batch size (default: 8, or 2 for smoke)")
     ap.add_argument("--max-delay-ms", type=float, default=5.0,
                     help="max time the batcher waits to coalesce a batch")
+    ap.add_argument("--payload", default="auto",
+                    choices=["auto", "summary", "full"],
+                    help="explain response mode: 'summary' reduces per-word "
+                         "relevance stats ON DEVICE (full maps never leave "
+                         "HBM; include_relevance unavailable), 'full' "
+                         "transfers the maps; 'auto' = summary where the "
+                         "explainer family supports it")
     ap.add_argument("--max-words", type=int, default=0)
     ap.add_argument("--height", type=int, default=0)
     ap.add_argument("--decode", default="beam", choices=["beam", "greedy"])
@@ -61,9 +68,16 @@ def main():
                     help="compile before binding the port (default: bind "
                          "first, warm in the background; /healthz reports "
                          "warm state)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (development; the "
+                         "JAX_PLATFORMS env var alone is overridden by the "
+                         "axon site file)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
@@ -124,8 +138,14 @@ def main():
     if not args.no_explain:
         explainer = build_explainer(args.explainer, cap, params, word_map,
                                     max_words=max_words)
+        payload = args.payload
+        if payload == "auto":
+            payload = ("summary" if args.explainer in
+                       ("lrp", "gradient", "guided_gradient", "grad_cam")
+                       else "full")
         services["explain"] = ExplainService(
-            explainer, batch_size=batch, max_delay_s=delay).start()
+            explainer, batch_size=batch, max_delay_s=delay,
+            payload=payload).start()
 
     server = make_http_server(services, args.host, args.port)
     warm_services(server, services,
@@ -135,6 +155,7 @@ def main():
         "port": server.server_address[1], "batch": batch,
         "model": args.model, "encoder": args.encoder,
         "explainer": args.explainer,
+        "payload": getattr(services.get("explain"), "payload", None),
         "backend": jax.default_backend(),
         "weights": ("trained" if args.params_checkpoint else "random"),
     }), flush=True)

@@ -185,6 +185,42 @@ def test_caption_service_greedy(tiny_setup):
     assert all(isinstance(w, str) for w in res["caption"])
 
 
+def test_explain_service_summary_matches_full(tiny_setup):
+    """payload='summary' (device-side reduction, maps never transfer) must
+    produce exactly the JSON explanation_payload renders for the full-path
+    result with include_relevance=False."""
+    cap, params, wm, images = tiny_setup
+    expl = build_explainer("lrp", cap, params, wm, max_words=6,
+                           cnn_word_chunk=0)
+    svc = ExplainService(expl, batch_size=2, payload="summary").start()
+    try:
+        got = svc(images[0])
+    finally:
+        svc.stop()
+    want = explanation_payload(expl.explain_caption_arrays(images[:1]))
+    assert got["caption"] == want["caption"]
+    assert got["tokens"] == want["tokens"]
+    np.testing.assert_allclose(got["relevance_words"],
+                               want["relevance_words"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got["betas"], want["betas"],
+                               rtol=1e-5, atol=1e-6)
+    for key in ("sum", "max", "min"):
+        np.testing.assert_allclose(got["relevance_stats"][key],
+                                   want["relevance_stats"][key],
+                                   rtol=1e-4, atol=1e-6)
+    assert sorted(got) == sorted(want)
+
+
+def test_explain_service_summary_rejects_composite_payloads(tiny_setup):
+    cap, params, wm, _ = tiny_setup
+    expl = build_explainer("guided_grad_cam", cap, params, wm, max_words=6,
+                           cnn_word_chunk=0)
+    with pytest.raises(ValueError, match="composite relevance payload"):
+        ExplainService(expl, batch_size=2, payload="summary")
+    with pytest.raises(ValueError, match="payload must be"):
+        ExplainService(expl, batch_size=2, payload="tiny")
+
+
 # ------------------------------------------------------------------ http ----
 
 def _post(url, payload):
@@ -259,6 +295,43 @@ def test_http_server_end_to_end(tiny_setup):
         server.server_close()
         for svc in services.values():
             svc.stop()
+
+
+def test_http_summary_server(tiny_setup):
+    """A payload='summary' server serves the default schema and 400s
+    include_relevance requests."""
+    cap, params, wm, images = tiny_setup
+    expl = build_explainer("lrp", cap, params, wm, max_words=6,
+                           cnn_word_chunk=0)
+    services = {"explain": ExplainService(expl, batch_size=2,
+                                          max_delay_s=0.02,
+                                          payload="summary").start()}
+    server = make_http_server(services, "127.0.0.1", 0)
+    warm_services(server, services, background=False)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    img = images[0]
+    b64 = {"b64": base64.b64encode(img.tobytes()).decode(),
+           "shape": list(img.shape)}
+    try:
+        status, out = _post(base + "/explain", {"image": b64})
+        assert status == 200
+        direct = expl.explain_caption_arrays(img[None])
+        assert out["caption"] == direct.caption
+        assert "relevance_images" not in out
+        assert len(out["relevance_stats"]["sum"]) == len(direct.caption)
+        try:
+            _post(base + "/explain", {"image": b64,
+                                      "include_relevance": True})
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "payload='summary'" in json.load(e)["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
+        services["explain"].stop()
 
 
 def test_explanation_payload_allheads_shape():

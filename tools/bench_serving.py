@@ -1,0 +1,195 @@
+"""Serving-path benchmark: offered-load sweep of the dynamic batcher on the
+real chip (docs/SERVING.md).
+
+Measures what a deployment sees — request throughput and latency through the
+full stack (client thread -> BatchingEngine -> padded fixed-shape dispatch ->
+host payload), per regime:
+
+- ``saturated_summary``: closed-loop clients (4x the compiled batch
+  outstanding) against the summary ExplainService (per-word relevance stats
+  reduced ON DEVICE — the default /explain response; the (B,T,H,W,3) maps
+  never transfer),
+- ``saturated_full``:   same load against the full-payload service (every
+  map to host — on the axon tunnel the transfer dominates; on local PCIe it
+  would not, the JSON records both),
+- ``low_load_summary``: one sequential client — the single-request latency
+  floor (a padded full batch per request, by design),
+- ``caption_saturated``: the CaptionService (beam 3, per the reference's
+  eval default).
+
+The raw program rate without the serving stack is bench.py's headline; the
+summary regime should sit near it (thin-tax claim, docs/SERVING.md).
+
+Usage (real TPU, ~3-4 min after compiles are cached):
+    python tools/bench_serving.py --out output/bench_serving.json
+    python tools/bench_serving.py --preset smoke --cpu   # protocol smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_regime(make_service, images, *, duration_s: float, clients: int):
+    """Closed-loop load: ``clients`` threads each loop submit->result until
+    the deadline.  Returns client-side throughput + engine-side stats."""
+    svc = make_service().start()
+    try:
+        svc.warmup()  # compile outside the measured window
+        stop_at = time.monotonic() + duration_s
+        counts = [0] * clients
+        lat = []
+        lat_lock = threading.Lock()
+
+        def client(k: int) -> None:
+            i = k
+            while time.monotonic() < stop_at:
+                t0 = time.monotonic()
+                svc(images[i % len(images)])
+                dt = time.monotonic() - t0
+                counts[k] += 1
+                with lat_lock:
+                    lat.append(dt)
+                i += clients
+
+        t_start = time.monotonic()
+        threads = [threading.Thread(target=client, args=(k,))
+                   for k in range(clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        elapsed = time.monotonic() - t_start
+        stats = svc.stats()
+    finally:
+        svc.stop()
+    lat.sort()
+
+    def pct(p):
+        return 1e3 * lat[min(len(lat) - 1, int(p * (len(lat) - 1)))] if lat else 0.0
+
+    return {
+        "clients": clients,
+        "duration_s": round(elapsed, 2),
+        "completed": sum(counts),
+        "throughput_per_s": round(sum(counts) / elapsed, 2),
+        "latency_p50_ms": round(pct(0.50), 1),
+        "latency_p99_ms": round(pct(0.99), 1),
+        "mean_batch_occupancy": round(stats["mean_batch_occupancy"], 2),
+        "mean_run_ms": round(stats["mean_run_ms"], 1),
+        "batches": stats["batches"],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--preset", default="full", choices=["smoke", "full"])
+    ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--max-delay-ms", type=float, default=5.0)
+    ap.add_argument("--duration", type=float, default=20.0,
+                    help="seconds of traffic per regime")
+    ap.add_argument("--model", default="gridtd")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--skip-full-payload", action="store_true",
+                    help="skip the map-transfer regime (slow on the tunnel)")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=1")
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    import numpy as np
+
+    from lrp_imagecaptioning_tpu.config import ModelConfig
+    from lrp_imagecaptioning_tpu.data.vocab import build_word_map
+    from lrp_imagecaptioning_tpu.explain import build_explainer
+    from lrp_imagecaptioning_tpu.models.captioner import Captioner
+    from lrp_imagecaptioning_tpu.serving import CaptionService, ExplainService
+
+    smoke = args.preset == "smoke"
+    batch = args.batch or (2 if smoke else 8)
+    hw = 64 if smoke else 224
+    max_words = 6 if smoke else 16
+    word_map = build_word_map(
+        [[f"w{i}"] for i in range(60 if smoke else 9582)], min_word_freq=1)
+    cfg = ModelConfig(model_type=args.model, encoder="vgg16",
+                      embed_dim=64 if smoke else 512,
+                      hidden_dim=64 if smoke else 512,
+                      vocab_size=len(word_map), height=hw, width=hw,
+                      vocab_pad_multiple=128)
+    cap = Captioner(cfg)
+    params = cap.init(jax.random.PRNGKey(0))
+    # beam 2 / 16 words = the bench.py headline operating point
+    explainer = build_explainer("lrp", cap, params, word_map,
+                                max_words=max_words)
+    rng = np.random.default_rng(0)
+    images = [rng.normal(size=(hw, hw, 3)).astype(np.float32)
+              for _ in range(4 * batch)]
+    delay = args.max_delay_ms / 1e3
+
+    regimes = {}
+    print(f"# backend={jax.default_backend()} batch={batch} hw={hw} "
+          f"max_words={max_words}", flush=True)
+
+    def svc_summary():
+        return ExplainService(explainer, batch_size=batch,
+                              max_delay_s=delay, payload="summary")
+
+    def svc_full():
+        return ExplainService(explainer, batch_size=batch,
+                              max_delay_s=delay, payload="full")
+
+    def svc_caption():
+        return CaptionService(cap, params, word_map, batch_size=batch,
+                              decode="beam", beam_size=3,
+                              max_cap_length=max_words, max_delay_s=delay)
+
+    plan = [("saturated_summary", svc_summary, 4 * batch),
+            ("low_load_summary", svc_summary, 1),
+            ("caption_saturated", svc_caption, 4 * batch)]
+    if not args.skip_full_payload:
+        plan.insert(1, ("saturated_full", svc_full, 4 * batch))
+    for name, make, clients in plan:
+        regimes[name] = run_regime(make, images, duration_s=args.duration,
+                                   clients=clients)
+        print(json.dumps({name: regimes[name]}), flush=True)
+
+    result = {
+        "backend": jax.default_backend(),
+        "model": args.model,
+        "batch": batch,
+        "height": hw,
+        "max_words": max_words,
+        "max_delay_ms": args.max_delay_ms,
+        "weights": "random (throughput is shape-bound, measured: "
+                   "output/bench_trained_weights.json)",
+        "regimes": regimes,
+    }
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"# wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
