@@ -312,66 +312,54 @@ class GridTDExplainerBase:
         single per-word array (every family except Guided Grad-CAM's
         (guided, cams) pair and the all-heads explainer's per-head axis —
         their postprocessing is host-side)."""
+        if self._summary_core_jit is None:
+            self._summary_core_jit = jax.jit(self._summary_fn())
+        return self._summary_core_jit
+
+    def _summary_fn(self):
+        """Unjitted (params, images) -> summary tuple: the batched core
+        followed by the on-device per-word (sum, max, min) reduction.
+        Guarded to plain-array relevance payloads (see
+        batched_summary_core)."""
         if type(self)._postprocess_one is not GridTDExplainerBase._postprocess_one:
             raise ValueError(
                 f"{type(self).__name__} has a composite relevance payload; "
                 "summary reduction supports the plain-array families only "
                 "(lrp / gradient / guided_gradient / grad_cam)")
-        if self._summary_core_jit is None:
-            core = self._batched_core_fn()
+        core = self._batched_core_fn()
 
-            def f(params, images):
-                tokens, length, rel, r_words, _alphas, _preds, betas = core(
-                    params, images)
-                rel = rel.astype(jnp.float32)
-                axes = tuple(range(2, rel.ndim))
-                stats = jnp.stack(
-                    [rel.sum(axes), rel.max(axes), rel.min(axes)], axis=-1)
-                return tokens, length, stats, r_words, betas
+        def f(params, images):
+            tokens, length, rel, r_words, _alphas, _preds, betas = core(
+                params, images)
+            rel = rel.astype(jnp.float32)
+            axes = tuple(range(2, rel.ndim))
+            stats = jnp.stack(
+                [rel.sum(axes), rel.max(axes), rel.min(axes)], axis=-1)
+            return tokens, length, stats, r_words, betas
 
-            self._summary_core_jit = jax.jit(f)
-        return self._summary_core_jit
+        return f
 
     def batched_core_sharded(self, mesh, *, data_axis: str = "data"):
         """Data-parallel explanation over a device mesh — the v5e-8 scaling
         path for the north-star throughput metric: images shard over the
         batch axis, params replicate, and each shard runs the full per-image
-        program locally under ``shard_map``, which makes the
-        zero-cross-device-communication property STRUCTURAL (under plain
-        pjit the SPMD partitioner inserts a batch all-gather around the
-        beam-search TopK custom-call; shard_map cannot — asserted on the
-        optimized HLO in tests/test_sharded_explain.py)."""
-        from jax.experimental.shard_map import shard_map
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        program locally under ``shard_map`` with zero cross-device
+        communication (structural — see
+        parallel.shard_mapped_data_parallel)."""
+        from ..parallel import shard_mapped_data_parallel
 
-        batch_sh = NamedSharding(mesh, P(data_axis))
-        rep = NamedSharding(mesh, P())
-        try:
-            # check_vma=False: decode-scan carries start as unvarying
-            # constants and become shard-varying — correct here (everything
-            # is local to the shard), but the static varying-axis checker
-            # can't see that
-            smapped = shard_map(
-                self._batched_core_fn(), mesh=mesh,
-                in_specs=(P(), P(data_axis)), out_specs=P(data_axis),
-                check_vma=False,
-            )
-        except TypeError:  # older jax spells it check_rep
-            smapped = shard_map(
-                self._batched_core_fn(), mesh=mesh,
-                in_specs=(P(), P(data_axis)), out_specs=P(data_axis),
-                check_rep=False,
-            )
-        core = jax.jit(smapped)
+        return shard_mapped_data_parallel(
+            self._batched_core_fn(), mesh, data_axis=data_axis)
 
-        def f(params, images):
-            params = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, rep), params)
-            images = jax.device_put(jnp.asarray(images), batch_sh)
-            return core(params, images)
+    def batched_summary_core_sharded(self, mesh, *, data_axis: str = "data"):
+        """Sharded variant of batched_summary_core: the per-word relevance
+        reduction runs INSIDE each shard (it is per-image, so it stays
+        local), and only the ~KB-scale stats tuple ever leaves the devices —
+        the multi-chip serving path (`serving/service.py` mesh mode)."""
+        from ..parallel import shard_mapped_data_parallel
 
-        f.lower = core.lower
-        return f
+        return shard_mapped_data_parallel(
+            self._summary_fn(), mesh, data_axis=data_axis)
 
     # -- public API ------------------------------------------------------
     def _split_caption(self, tokens: np.ndarray, length: int):
@@ -420,13 +408,27 @@ class GridTDExplainerBase:
         One dispatch of the cached fixed-shape batched program (the
         north-star throughput path) instead of B single-image dispatches —
         the building block for the serving engine and batch evaluation."""
+        return self.explain_batch_finalize(
+            self.explain_batch_dispatch(images), images.shape[0])
+
+    def explain_batch_dispatch(self, images: np.ndarray):
+        """Launch the batched program without blocking on results: returns
+        (device output tree, img_hw).  JAX dispatch is asynchronous, so the
+        serving engine can overlap the next batch's dispatch with this one's
+        readback (`serving/engine.py` pipeline)."""
         out = self.batched_core()(self.params, jnp.asarray(images))
-        host = jax.tree_util.tree_map(np.asarray, out)
         img_hw = int(images.shape[1]) if not self.cap.cfg.is_bu else None
+        return out, img_hw
+
+    def explain_batch_finalize(self, handle, n: int):
+        """Blocking half of explain_batch_dispatch: device→host transfer +
+        per-image postprocess for the first ``n`` rows (pad rows dropped)."""
+        out, img_hw = handle
+        host = jax.tree_util.tree_map(np.asarray, out)
         return [
             self._postprocess_one(
                 *jax.tree_util.tree_map(lambda a: a[i], host), img_hw=img_hw)
-            for i in range(images.shape[0])
+            for i in range(n)
         ]
 
     def explain_caption(

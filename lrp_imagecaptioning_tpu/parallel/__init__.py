@@ -4,6 +4,7 @@ from .mesh import (
     param_shardings,
     replicated,
     shard_batch,
+    shard_mapped_data_parallel,
 )
 from .distributed import (
     global_batch_from_local,

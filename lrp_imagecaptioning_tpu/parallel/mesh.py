@@ -44,6 +44,45 @@ def batch_sharding(mesh: Mesh, cfg: MeshConfig | None = None) -> NamedSharding:
     return NamedSharding(mesh, P(cfg.data_axis))
 
 
+def shard_mapped_data_parallel(fn, mesh: Mesh, *, data_axis: str = "data"):
+    """Wrap ``fn(params, batch) -> outputs`` as a data-parallel program:
+    params replicate, the batch (and every output) shards over ``data_axis``
+    rows, and each shard runs ``fn`` locally under ``shard_map`` — making
+    zero cross-device communication STRUCTURAL (under plain pjit the SPMD
+    partitioner inserts a batch all-gather around the beam-search TopK
+    custom-call; shard_map cannot — asserted on the optimized HLO in
+    tests/test_sharded_explain.py).  Shared by the explainer's sharded cores
+    and the serving layer's mesh mode.
+
+    The returned callable device_puts its inputs (replicated / row-sharded)
+    and exposes ``.lower`` for HLO inspection."""
+    from jax.experimental.shard_map import shard_map
+
+    batch_sh = NamedSharding(mesh, P(data_axis))
+    rep = NamedSharding(mesh, P())
+    try:
+        # check_vma=False: decode-scan carries start as unvarying constants
+        # that become shard-varying — correct here (everything is local to
+        # the shard), but the static varying-axis checker can't see that
+        smapped = shard_map(
+            fn, mesh=mesh, in_specs=(P(), P(data_axis)),
+            out_specs=P(data_axis), check_vma=False)
+    except TypeError:  # older jax spells it check_rep
+        smapped = shard_map(
+            fn, mesh=mesh, in_specs=(P(), P(data_axis)),
+            out_specs=P(data_axis), check_rep=False)
+    core = jax.jit(smapped)
+
+    def f(params, batch):
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), params)
+        batch = jax.device_put(jnp.asarray(batch), batch_sh)
+        return core(params, batch)
+
+    f.lower = core.lower
+    return f
+
+
 def _leaf_spec(path: str, leaf, axis: str, enabled: bool) -> P:
     """Vocab-dim sharding for embedding / fc of any decoder family."""
     if not enabled:

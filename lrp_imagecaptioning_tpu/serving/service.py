@@ -34,19 +34,44 @@ def _pad_batch(arrays: list[np.ndarray], batch: int) -> np.ndarray:
 
 
 class _ServiceBase:
-    """Shared input validation + engine plumbing."""
+    """Shared input validation + engine plumbing.
+
+    Services implement the two-phase batch callback (``_dispatch_batch``
+    pads + launches the jitted program — JAX dispatch is asynchronous;
+    ``_finalize_batch`` blocks on the device→host transfer and renders
+    results) so the engine overlaps up to ``pipeline_depth`` batches: the
+    round-trip latency of the remote-tunnel device (~400 ms/dispatch) then
+    amortizes over the in-flight window instead of serializing per batch
+    (measured sweep in docs/SERVING.md).
+
+    ``mesh`` (a jax.sharding.Mesh) turns the service data-parallel: each
+    dispatch shards its batch rows over the mesh's ``data_axis`` and runs
+    the same per-image program shard-locally under ``shard_map`` with zero
+    collectives (parallel.shard_mapped_data_parallel) — the v5e-8 serving
+    path; ``batch_size`` must divide by the axis size."""
 
     def __init__(self, captioner, *, batch_size: int, max_delay_s: float,
-                 name: str):
+                 name: str, pipeline_depth: int = 2, mesh=None,
+                 data_axis: str = "data"):
         cfg = captioner.cfg
         self.cap = captioner
         self.batch_size = batch_size
+        self.mesh = mesh
+        self.data_axis = data_axis
+        if mesh is not None:
+            n_shards = mesh.shape[data_axis]
+            if batch_size % n_shards:
+                raise ValueError(
+                    f"batch_size={batch_size} must divide evenly over the "
+                    f"{n_shards}-way {data_axis!r} mesh axis")
         if cfg.is_bu:
             self.input_shape = (36, cfg.bu_feat_dim)
         else:
             self.input_shape = (cfg.height, cfg.width, 3)
         self.engine = BatchingEngine(
-            self._run_batch, batch_size, max_delay_s=max_delay_s, name=name)
+            None, batch_size, max_delay_s=max_delay_s, name=name,
+            dispatch=self._dispatch_batch, finalize=self._finalize_batch,
+            pipeline_depth=pipeline_depth)
 
     # lifecycle
     def start(self):
@@ -80,6 +105,13 @@ class _ServiceBase:
         self._run_batch(dummy)
 
     def _run_batch(self, payloads: list[np.ndarray]) -> list:
+        """Synchronous composition of the two phases (warmup, direct use)."""
+        return self._finalize_batch(self._dispatch_batch(payloads), payloads)
+
+    def _dispatch_batch(self, payloads: list[np.ndarray]):
+        raise NotImplementedError
+
+    def _finalize_batch(self, handle, payloads: list[np.ndarray]) -> list:
         raise NotImplementedError
 
 
@@ -95,9 +127,12 @@ class CaptionService(_ServiceBase):
     def __init__(self, captioner, params, word_map, *, batch_size: int = 8,
                  decode: str = "beam", beam_size: int = 3,
                  max_cap_length: int = 20, max_delay_s: float = 0.005,
-                 strip_bad_endings: bool = True):
+                 strip_bad_endings: bool = True, pipeline_depth: int = 2,
+                 mesh=None, data_axis: str = "data"):
         super().__init__(captioner, batch_size=batch_size,
-                         max_delay_s=max_delay_s, name="caption")
+                         max_delay_s=max_delay_s, name="caption",
+                         pipeline_depth=pipeline_depth, mesh=mesh,
+                         data_axis=data_axis)
         if decode not in ("beam", "greedy"):
             raise ValueError(f"decode must be 'beam' or 'greedy', got {decode!r}")
         self.params = params
@@ -119,7 +154,12 @@ class CaptionService(_ServiceBase):
                                         max_cap_length=max_cap_length)
             return res.tokens, res.length
 
-        self._core = jax.jit(core)
+        if mesh is not None:
+            from ..parallel import shard_mapped_data_parallel
+            self._core = shard_mapped_data_parallel(
+                core, mesh, data_axis=data_axis)
+        else:
+            self._core = jax.jit(core)
 
     def _words(self, ids: np.ndarray) -> list[str]:
         words = decode_to_words(list(ids), self.word_map)
@@ -130,9 +170,10 @@ class CaptionService(_ServiceBase):
             trimmed.pop()
         return trimmed if trimmed else words
 
-    def _run_batch(self, payloads):
-        images = _pad_batch(payloads, self.batch_size)
-        out = self._core(self.params, images)
+    def _dispatch_batch(self, payloads):
+        return self._core(self.params, _pad_batch(payloads, self.batch_size))
+
+    def _finalize_batch(self, out, payloads):
         k = len(payloads)
         if self.decode == "greedy":
             tokens = np.asarray(out)
@@ -162,29 +203,50 @@ class ExplainService(_ServiceBase):
     mode (the HTTP layer rejects ``include_relevance`` with a 400)."""
 
     def __init__(self, explainer, *, batch_size: int = 8,
-                 max_delay_s: float = 0.005, payload: str = "full"):
+                 max_delay_s: float = 0.005, payload: str = "full",
+                 pipeline_depth: int = 2, mesh=None,
+                 data_axis: str = "data"):
         super().__init__(explainer.cap, batch_size=batch_size,
-                         max_delay_s=max_delay_s, name="explain")
+                         max_delay_s=max_delay_s, name="explain",
+                         pipeline_depth=pipeline_depth, mesh=mesh,
+                         data_axis=data_axis)
         if payload not in ("full", "summary"):
             raise ValueError(
                 f"payload must be 'full' or 'summary', got {payload!r}")
         self.explainer = explainer
         self.payload = payload
+        self._full_core = (
+            explainer.batched_core_sharded(mesh, data_axis=data_axis)
+            if mesh is not None and payload == "full" else None)
         if payload == "summary":
             # raises for composite-payload families (guided_grad_cam,
             # lrp_all_heads) — fail at construction, not first request
-            self._summary_core = explainer.batched_summary_core()
+            self._summary_core = (
+                explainer.batched_summary_core_sharded(
+                    mesh, data_axis=data_axis)
+                if mesh is not None else explainer.batched_summary_core())
 
-    def _run_batch(self, payloads):
+    def _dispatch_batch(self, payloads):
         images = _pad_batch(payloads, self.batch_size)
         if self.payload == "full":
-            return self.explainer.explain_batch_arrays(images)[: len(payloads)]
-        out = self._summary_core(self.explainer.params, images)
-        tokens, length, stats, r_words, betas = (np.asarray(x) for x in out)
+            if self._full_core is not None:
+                out = self._full_core(self.explainer.params, images)
+                img_hw = (int(images.shape[1])
+                          if not self.cap.cfg.is_bu else None)
+                return out, img_hw
+            return self.explainer.explain_batch_dispatch(images)
+        return self._summary_core(self.explainer.params, images)
+
+    def _finalize_batch(self, handle, payloads):
+        k = len(payloads)
+        if self.payload == "full":
+            return self.explainer.explain_batch_finalize(handle, k)
+        tokens, length, stats, r_words, betas = (
+            np.asarray(x) for x in handle)
         return [
             self._summary_result(tokens[i], int(length[i]), stats[i],
                                  r_words[i], betas[i])
-            for i in range(len(payloads))
+            for i in range(k)
         ]
 
     def _summary_result(self, tokens, length, stats, r_words, betas) -> dict:

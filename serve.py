@@ -45,6 +45,13 @@ def main():
                     help="compiled batch size (default: 8, or 2 for smoke)")
     ap.add_argument("--max-delay-ms", type=float, default=5.0,
                     help="max time the batcher waits to coalesce a batch")
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="max dispatched batches in flight (overlaps the "
+                         "device round trip with readback; 1 = synchronous)")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel serving over an N-device mesh: each "
+                         "batch shards its rows across the devices "
+                         "(collective-free shard_map; batch must divide N)")
     ap.add_argument("--payload", default="auto",
                     choices=["auto", "summary", "full"],
                     help="explain response mode: 'summary' reduces per-word "
@@ -129,12 +136,18 @@ def main():
                 os.path.abspath(args.params_checkpoint), params)
 
     delay = args.max_delay_ms / 1e3
+    mesh = None
+    if args.dp:
+        from lrp_imagecaptioning_tpu.config import MeshConfig
+        from lrp_imagecaptioning_tpu.parallel import build_mesh
+        mesh = build_mesh(MeshConfig(data_parallel=args.dp))
     services = {}
     if not args.no_caption:
         services["caption"] = CaptionService(
             cap, params, word_map, batch_size=batch, decode=args.decode,
             beam_size=args.beam_size, max_cap_length=max_words,
-            max_delay_s=delay).start()
+            max_delay_s=delay, pipeline_depth=args.pipeline_depth,
+            mesh=mesh).start()
     if not args.no_explain:
         explainer = build_explainer(args.explainer, cap, params, word_map,
                                     max_words=max_words)
@@ -145,7 +158,8 @@ def main():
                        else "full")
         services["explain"] = ExplainService(
             explainer, batch_size=batch, max_delay_s=delay,
-            payload=payload).start()
+            payload=payload, pipeline_depth=args.pipeline_depth,
+            mesh=mesh).start()
 
     server = make_http_server(services, args.host, args.port)
     warm_services(server, services,

@@ -61,6 +61,108 @@ def test_engine_failure_isolates_batch_and_survives():
         eng.stop()
 
 
+def test_engine_pipeline_overlaps_dispatch_with_finalize():
+    """With a dispatch/finalize pair and depth>1, the worker must dispatch
+    batch N+1 while batch N is still being finalized (the serving win on a
+    high-latency device link), preserving order and results."""
+    import time as _time
+
+    events = []
+    ev_lock = threading.Lock()
+
+    def dispatch(payloads):
+        with ev_lock:
+            events.append(("dispatch", tuple(payloads)))
+        return [p * 10 for p in payloads]
+
+    def finalize(handle, payloads):
+        _time.sleep(0.15)  # slow readback — the window for overlap
+        with ev_lock:
+            events.append(("finalize", tuple(payloads)))
+        return handle
+
+    eng = BatchingEngine(None, 2, max_delay_s=0.01, dispatch=dispatch,
+                         finalize=finalize, pipeline_depth=3).start()
+    try:
+        futs = [eng.submit(i) for i in range(6)]
+        assert [f.result(timeout=5) for f in futs] == [0, 10, 20, 30, 40, 50]
+    finally:
+        eng.stop()
+    # all dispatches happen before the LAST finalize; with 3 batches and a
+    # 0.15 s finalize, a synchronous loop could never do that
+    kinds = [k for k, _ in events]
+    assert kinds.count("dispatch") == kinds.count("finalize") >= 3
+    assert kinds[:2] == ["dispatch", "dispatch"]  # overlap happened
+    # order preserved per phase
+    d = [p for k, p in events if k == "dispatch"]
+    f = [p for k, p in events if k == "finalize"]
+    assert d == f
+    snap = eng.stats()
+    assert snap["pipeline_depth"] == 3
+    assert snap["mean_dispatch_ms"] < snap["mean_run_ms"]
+
+
+def test_engine_pipeline_failures_isolate_per_phase():
+    def dispatch(payloads):
+        if any(p == -1 for p in payloads):
+            raise ValueError("dispatch boom")
+        return payloads
+
+    def finalize(handle, payloads):
+        if any(p == -2 for p in payloads):
+            raise ValueError("finalize boom")
+        return handle
+
+    eng = BatchingEngine(None, 1, max_delay_s=0.01, dispatch=dispatch,
+                         finalize=finalize, pipeline_depth=2).start()
+    try:
+        with pytest.raises(ValueError, match="dispatch boom"):
+            eng.submit(-1).result(timeout=5)
+        with pytest.raises(ValueError, match="finalize boom"):
+            eng.submit(-2).result(timeout=5)
+        assert eng.submit(3).result(timeout=5) == 3  # engine survives both
+        assert eng.stats()["errors"] == 2
+    finally:
+        eng.stop()
+
+
+def test_engine_pipeline_stop_drains_inflight():
+    """Batches dispatched but not yet finalized at stop() must not hang
+    callers: either they complete (worker handed them off before the join)
+    or their futures fail with 'engine stopped'."""
+    import time as _time
+
+    release = threading.Event()
+
+    def finalize(handle, payloads):
+        release.wait(timeout=5)
+        _time.sleep(0.05)
+        return handle
+
+    eng = BatchingEngine(None, 1, max_delay_s=0.001,
+                         dispatch=lambda ps: ps, finalize=finalize,
+                         pipeline_depth=4).start()
+    futs = [eng.submit(i) for i in range(4)]
+    _time.sleep(0.2)  # let the worker dispatch several
+    release.set()
+    eng.stop()
+    for f in futs:
+        try:
+            f.result(timeout=1)
+        except RuntimeError as e:
+            assert "engine stopped" in str(e)
+
+
+def test_engine_constructor_validation():
+    with pytest.raises(ValueError, match="pair"):
+        BatchingEngine(None, 2, dispatch=lambda p: p)
+    with pytest.raises(ValueError, match="run_batch or"):
+        BatchingEngine(None, 2)
+    with pytest.raises(ValueError, match="pipeline_depth"):
+        BatchingEngine(None, 2, dispatch=lambda p: p,
+                       finalize=lambda h, p: h, pipeline_depth=0)
+
+
 def test_engine_stop_fails_pending():
     eng = BatchingEngine(lambda ps: ps, 2, max_delay_s=0.01)
     fut = eng.submit(1)  # never started -> queue drains at stop()
@@ -209,6 +311,63 @@ def test_explain_service_summary_matches_full(tiny_setup):
                                    want["relevance_stats"][key],
                                    rtol=1e-4, atol=1e-6)
     assert sorted(got) == sorted(want)
+
+
+def test_services_mesh_mode_match_single_device(tiny_setup, eight_devices):
+    """mesh= services shard each batch's rows over the data axis and must
+    reproduce the single-device results exactly (shard-local programs, no
+    collectives — the v5e-8 serving path)."""
+    from lrp_imagecaptioning_tpu.config import MeshConfig
+    from lrp_imagecaptioning_tpu.parallel import build_mesh
+
+    cap, params, wm, images = tiny_setup
+    mesh = build_mesh(MeshConfig(data_parallel=4), eight_devices[:4])
+    expl = build_explainer("lrp", cap, params, wm, max_words=6,
+                           cnn_word_chunk=0)
+
+    svc = ExplainService(expl, batch_size=4, payload="summary",
+                         mesh=mesh).start()
+    try:
+        got = svc(images[0])
+    finally:
+        svc.stop()
+    want = explanation_payload(expl.explain_caption_arrays(images[:1]))
+    assert got["caption"] == want["caption"]
+    np.testing.assert_allclose(got["relevance_words"],
+                               want["relevance_words"], rtol=1e-5, atol=1e-6)
+    for key in ("sum", "max", "min"):
+        np.testing.assert_allclose(got["relevance_stats"][key],
+                                   want["relevance_stats"][key],
+                                   rtol=1e-4, atol=1e-6)
+
+    svc = ExplainService(expl, batch_size=4, payload="full",
+                         mesh=mesh).start()
+    try:
+        got_full = svc(images[0])
+    finally:
+        svc.stop()
+    direct = expl.explain_caption_arrays(images[:1])
+    assert got_full.caption == direct.caption
+    np.testing.assert_allclose(got_full.relevance_images,
+                               direct.relevance_images,
+                               rtol=1e-5, atol=1e-6)
+
+    csvc = CaptionService(cap, params, wm, batch_size=4, decode="beam",
+                          beam_size=2, max_cap_length=6, mesh=mesh).start()
+    try:
+        got_cap = csvc(images[0])
+    finally:
+        csvc.stop()
+    plain = CaptionService(cap, params, wm, batch_size=4, decode="beam",
+                           beam_size=2, max_cap_length=6).start()
+    try:
+        want_cap = plain(images[0])
+    finally:
+        plain.stop()
+    assert got_cap == want_cap
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        ExplainService(expl, batch_size=3, payload="summary", mesh=mesh)
 
 
 def test_explain_service_summary_rejects_composite_payloads(tiny_setup):

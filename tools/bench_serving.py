@@ -5,10 +5,12 @@ Measures what a deployment sees — request throughput and latency through the
 full stack (client thread -> BatchingEngine -> padded fixed-shape dispatch ->
 host payload), per regime:
 
-- ``saturated_summary``: closed-loop clients (4x the compiled batch
-  outstanding) against the summary ExplainService (per-word relevance stats
-  reduced ON DEVICE — the default /explain response; the (B,T,H,W,3) maps
-  never transfer),
+- ``saturated_summary``: closed-loop clients (enough to keep the dispatch
+  pipeline full) against the summary ExplainService (per-word relevance
+  stats reduced ON DEVICE — the default /explain response; the (B,T,H,W,3)
+  maps never transfer), pipelined dispatch at --pipeline-depth,
+- ``saturated_summary_sync``: the same service at pipeline_depth=1 — the
+  synchronous round-trip-per-batch baseline the pipeline is beating,
 - ``saturated_full``:   same load against the full-payload service (every
   map to host — on the axon tunnel the transfer dominates; on local PCIe it
   would not, the JSON records both),
@@ -84,6 +86,8 @@ def run_regime(make_service, images, *, duration_s: float, clients: int):
         "latency_p99_ms": round(pct(0.99), 1),
         "mean_batch_occupancy": round(stats["mean_batch_occupancy"], 2),
         "mean_run_ms": round(stats["mean_run_ms"], 1),
+        "mean_dispatch_ms": round(stats["mean_dispatch_ms"], 1),
+        "pipeline_depth": stats["pipeline_depth"],
         "batches": stats["batches"],
     }
 
@@ -93,6 +97,14 @@ def main():
     ap.add_argument("--preset", default="full", choices=["smoke", "full"])
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--max-delay-ms", type=float, default=5.0)
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="in-flight dispatched batches for the pipelined "
+                         "regimes (engine.py; 1 = synchronous)")
+    ap.add_argument("--clients", type=int, default=0,
+                    help="closed-loop clients for saturated regimes "
+                         "(default: enough to fill the pipeline, capped — "
+                         "each client is a host thread; the 1-core host "
+                         "pays for every extra one)")
     ap.add_argument("--duration", type=float, default=20.0,
                     help="seconds of traffic per regime")
     ap.add_argument("--model", default="gridtd")
@@ -150,24 +162,35 @@ def main():
     print(f"# backend={jax.default_backend()} batch={batch} hw={hw} "
           f"max_words={max_words}", flush=True)
 
-    def svc_summary():
+    depth = args.pipeline_depth
+
+    def svc_summary(d=depth):
         return ExplainService(explainer, batch_size=batch,
-                              max_delay_s=delay, payload="summary")
+                              max_delay_s=delay, payload="summary",
+                              pipeline_depth=d)
 
     def svc_full():
         return ExplainService(explainer, batch_size=batch,
-                              max_delay_s=delay, payload="full")
+                              max_delay_s=delay, payload="full",
+                              pipeline_depth=depth)
 
     def svc_caption():
         return CaptionService(cap, params, word_map, batch_size=batch,
                               decode="beam", beam_size=3,
-                              max_cap_length=max_words, max_delay_s=delay)
+                              max_cap_length=max_words, max_delay_s=delay,
+                              pipeline_depth=depth)
 
-    plan = [("saturated_summary", svc_summary, 4 * batch),
+    # closed-loop clients: 4x the compiled batch keeps the pipeline fed at
+    # every measured depth — every client is a host thread, and MORE threads
+    # measured strictly slower on the 1-core host (144 lost 11% vs 32 at
+    # depth 8; 48 lost 13% vs 32 at depth 2), so the default stays flat
+    sat = args.clients or 4 * batch
+    plan = [("saturated_summary", svc_summary, sat),
+            ("saturated_summary_sync", lambda: svc_summary(1), 4 * batch),
             ("low_load_summary", svc_summary, 1),
-            ("caption_saturated", svc_caption, 4 * batch)]
+            ("caption_saturated", svc_caption, sat)]
     if not args.skip_full_payload:
-        plan.insert(1, ("saturated_full", svc_full, 4 * batch))
+        plan.insert(2, ("saturated_full", svc_full, sat))
     for name, make, clients in plan:
         regimes[name] = run_regime(make, images, duration_s=args.duration,
                                    clients=clients)
@@ -180,6 +203,7 @@ def main():
         "height": hw,
         "max_words": max_words,
         "max_delay_ms": args.max_delay_ms,
+        "pipeline_depth": depth,
         "weights": "random (throughput is shape-bound, measured: "
                    "output/bench_trained_weights.json)",
         "regimes": regimes,
