@@ -82,7 +82,21 @@ def _ptb_word(tok: str) -> list[str]:
 
 def ptb_tokenize_sentence(sentence: str) -> str:
     """Tokenize one sentence, returning space-joined tokens with the
-    reference's punctuation list removed."""
+    reference's punctuation list removed.  Dispatches to the native C++
+    scanner (``native/ptb_tokenizer.cpp``) when the toolchain allows —
+    semantics pinned equal by the golden suite + randomized cross-check in
+    ``tests/test_ptb_golden.py`` — and falls back to this pure-Python
+    implementation otherwise."""
+    from .tokenizer_native import native_available, ptb_tokenize_sentence_native
+
+    if native_available():
+        return ptb_tokenize_sentence_native(sentence)
+    return ptb_tokenize_sentence_py(sentence)
+
+
+def ptb_tokenize_sentence_py(sentence: str) -> str:
+    """The pure-Python scanner (reference implementation for the native
+    cross-check; always available)."""
     s = sentence.replace("\n", " ").lower()
     for src, dst in _UNICODE_NORM.items():
         s = s.replace(src, dst)

@@ -12,9 +12,15 @@ module docstring (multi-letter abbreviation periods, slash compounds,
 assimilations) and are NOT asserted here.
 """
 
+import random
+import string
+
 import pytest
 
-from lrp_imagecaptioning_tpu.metrics.tokenizer import ptb_tokenize_sentence
+from lrp_imagecaptioning_tpu.metrics.tokenizer import (
+    ptb_tokenize_sentence, ptb_tokenize_sentence_py)
+from lrp_imagecaptioning_tpu.metrics.tokenizer_native import (
+    native_available, ptb_tokenize_sentence_native)
 
 GOLDEN = [
     # -- clitics / contractions (PTB: don't -> do n't, can't -> ca n't) -----
@@ -100,4 +106,39 @@ GOLDEN = [
 @pytest.mark.parametrize("raw,expected", GOLDEN,
                          ids=[g[0][:30] or "<empty>" for g in GOLDEN])
 def test_ptb_golden(raw, expected):
+    # the dispatching entry point (native where the toolchain allows)
     assert ptb_tokenize_sentence(raw) == expected
+    # the pure-Python scanner must independently pass the same goldens
+    assert ptb_tokenize_sentence_py(raw) == expected
+
+
+# ------------------------------------------------- native C++ tokenizer ----
+
+@pytest.mark.skipif(not native_available(), reason="no C++ toolchain")
+def test_ptb_native_matches_golden():
+    for raw, expected in GOLDEN:
+        assert ptb_tokenize_sentence_native(raw) == expected, raw
+
+
+@pytest.mark.skipif(not native_available(), reason="no C++ toolchain")
+def test_ptb_native_matches_python_randomized():
+    """Cross-implementation property test: the C++ scanner and the Python
+    scanner must agree byte-for-byte on adversarial random strings over the
+    caption-corpus character universe (ASCII, PTB punctuation, unicode
+    quotes/dashes, Latin-1 letters, currency)."""
+    charset = (string.ascii_letters + string.digits + " " * 20
+               + ".,!?;:'\"-()[]{}/$%&*#@+=_" + "’‘“”–—" + "éüçÀÑ€ " + "\n\t")
+    rng = random.Random(1234)
+    for _ in range(3000):
+        s = "".join(rng.choice(charset) for _ in range(rng.randint(0, 60)))
+        assert ptb_tokenize_sentence_native(s) == ptb_tokenize_sentence_py(s), repr(s)
+
+
+@pytest.mark.skipif(not native_available(), reason="no C++ toolchain")
+def test_ptb_native_long_sentence_overflow_path():
+    """Escape-heavy input whose tokenized form exceeds the 2x first-try
+    buffer exercises the retry branch (brackets expand 1 -> 6 bytes)."""
+    s = "(" * 500 + " a dog " + ")" * 500
+    expected = " ".join(["-lrb-"] * 500 + ["a", "dog"] + ["-rrb-"] * 500)
+    assert ptb_tokenize_sentence_native(s) == expected
+    assert ptb_tokenize_sentence_py(s) == expected
