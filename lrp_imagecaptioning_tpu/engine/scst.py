@@ -12,8 +12,10 @@ our pure-Python CIDEr/BLEU.  Exact-parity notes:
   one scorer over ``2 * batch_size`` items (modelutils.py:216-223),
 - reward = score(sample) - score(greedy), broadcast over timesteps.
 
-The reward runs on host between two jitted device programs; pre-tokenized
-strings keep it O(batch * len).  A C++ scorer drop-in lives in ``native/``.
+The reward runs on host between two jitted device programs; token ids go
+straight into the native C++ scorers (``native/cider_scorer.cpp``,
+``native/bleu_scorer.cpp``) — no string round trip — with pure-Python
+fallbacks when no toolchain exists.
 """
 
 from __future__ import annotations
@@ -21,7 +23,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..data.vocab import WordMap
-from ..metrics.bleu import corpus_bleu
 
 
 def array_to_str(arr, word_map: WordMap) -> str:
@@ -42,31 +43,30 @@ def get_self_critical_reward(
     b = gen_result.shape[0]
 
     scores = np.zeros(2 * b)
-    if cider_reward_weight > 0:
-        # hot path: token ids straight into the native scorer (no strings);
-        # array_to_str semantics in id space = drop <start>/<pad>, keep the rest
-        skip = {word_map.start, word_map.pad}
+    # hot path: token ids straight into the native scorers (no strings);
+    # array_to_str semantics in id space = drop <start>/<pad>, keep the rest
+    skip = {word_map.start, word_map.pad}
 
-        def ids(row):
-            return np.asarray([int(t) for t in row if int(t) not in skip],
-                              np.int32)
+    def ids(row):
+        return np.asarray([int(t) for t in row if int(t) not in skip],
+                          np.int32)
 
+    hyp_ids = ref_ids = None
+    if cider_reward_weight > 0 or bleu_reward_weight > 0:
         hyp_ids = [ids(gen_result[i]) for i in range(b)]
         hyp_ids += [ids(greedy_res[i]) for i in range(b)]
         ref_ids = [[ids(c) for c in all_caps[i]] for i in range(b)]
+    if cider_reward_weight > 0:
         from ..metrics.native import cider_score_ids
 
         cider = cider_score_ids(hyp_ids, ref_ids + ref_ids)
         scores = scores + cider_reward_weight * cider
     if bleu_reward_weight > 0:
-        hyps = [array_to_str(gen_result[i], word_map) for i in range(b)]
-        hyps += [array_to_str(greedy_res[i], word_map) for i in range(b)]
-        refs = [
-            [array_to_str(all_caps[i][j], word_map)
-             for j in range(len(all_caps[i]))]
-            for i in range(b)
-        ]
-        _, per = corpus_bleu(hyps, refs + refs)
-        scores = scores + bleu_reward_weight * np.asarray(per[3])
+        # BLEU-4 per item, matching Bleu_scorer().compute_score(...)[1][3]
+        # (modelutils.py:227-229); native ids scorer w/ pure-Python fallback
+        from ..metrics.native import bleu_score_ids
+
+        _, per = bleu_score_ids(hyp_ids, ref_ids + ref_ids, n=4)
+        scores = scores + bleu_reward_weight * per[:, 3]
     adv = scores[:b] - scores[b:]
     return np.repeat(adv[:, None], gen_result.shape[1], axis=1).astype(np.float32)

@@ -1,9 +1,12 @@
-"""ctypes bindings for the native C++ CIDEr scorer (``native/cider_scorer.cpp``).
+"""ctypes bindings for the native C++ n-gram scorers
+(``native/cider_scorer.cpp``, ``native/bleu_scorer.cpp``) — SURVEY §2's
+"native n-gram scorers".
 
-Builds the shared library on first use with g++ (cached next to the source);
-falls back to the pure-Python scorer when a toolchain is unavailable.  The
-native path consumes token-id sequences directly — no string round trip — and
-matches the Python/pycocoevalcap semantics exactly (tested)."""
+Builds the shared libraries on first use with g++ (cached next to the
+source); falls back to the pure-Python scorers when a toolchain is
+unavailable.  The native paths consume token-id sequences directly — no
+string round trip — and match the Python/pycocoevalcap semantics exactly
+(tested in tests/test_native_cider.py)."""
 
 from __future__ import annotations
 
@@ -109,3 +112,101 @@ def _python_fallback(hyp_ids, ref_ids, sigma):
     refs = [[" ".join(map(str, map(int, r))) for r in rr] for rr in ref_ids]
     _, scores = cider_score(hyps, refs, sigma=sigma)
     return scores
+
+
+# ----------------------------------------------------------- native BLEU ----
+
+_BLEU_LIB = None
+_BLEU_TRIED = False
+
+_BLEU_SRC = os.path.join(os.path.dirname(_SRC), "bleu_scorer.cpp")
+
+
+def _build_and_load_bleu():
+    global _BLEU_LIB, _BLEU_TRIED
+    if _BLEU_TRIED:
+        return _BLEU_LIB
+    _BLEU_TRIED = True
+    so_path = os.path.splitext(_BLEU_SRC)[0] + ".so"
+    try:
+        if (not os.path.exists(so_path)
+                or os.path.getmtime(so_path) < os.path.getmtime(_BLEU_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", _BLEU_SRC, "-o", so_path],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so_path)
+        lib.bleu_score_ids.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.bleu_score_ids.restype = None
+        _BLEU_LIB = lib
+    except Exception as e:  # pragma: no cover - toolchain missing
+        warnings.warn(f"native BLEU unavailable ({e}); using pure Python")
+        _BLEU_LIB = None
+    return _BLEU_LIB
+
+
+def bleu_native_available() -> bool:
+    return _build_and_load_bleu() is not None
+
+
+_BLEU_OPTIONS = {"closest": 0, "shortest": 1, "average": 2}
+
+
+def bleu_score_ids(
+    hyp_ids: list[np.ndarray],
+    ref_ids: list[list[np.ndarray]],
+    n: int = 4,
+    option: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """BLEU-1..n over token-id sequences (corpus_bleu's exact semantics,
+    incl. the 'average'-when-single-item option default).  Returns
+    ``(corpus [n], per_sentence [len(hyp_ids), n])``."""
+    if option is None:
+        option = "average" if len(ref_ids) == 1 else "closest"
+    lib = _build_and_load_bleu()
+    if lib is None:
+        return _bleu_python_fallback(hyp_ids, ref_ids, n, option)
+    n_hyp = len(hyp_ids)
+    hyp_flat, hyp_off = _flatten([np.asarray(h, np.int32) for h in hyp_ids])
+    all_refs, groups = [], []
+    for i, refs in enumerate(ref_ids):
+        for r in refs:
+            all_refs.append(np.asarray(r, np.int32))
+            groups.append(i)
+    ref_flat, ref_off = _flatten(all_refs)
+    groups_arr = np.asarray(groups, np.int64)
+    per = np.zeros((n_hyp, n), np.float64)
+    corpus = np.zeros(n, np.float64)
+
+    def ptr(a, t):
+        if a.size == 0:
+            a = np.zeros(1, dtype=a.dtype)
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    lib.bleu_score_ids(
+        ptr(hyp_flat, ctypes.c_int32), ptr(hyp_off, ctypes.c_int64),
+        ctypes.c_int64(n_hyp),
+        ptr(ref_flat, ctypes.c_int32), ptr(ref_off, ctypes.c_int64),
+        ptr(groups_arr, ctypes.c_int64), ctypes.c_int64(len(all_refs)),
+        ctypes.c_int32(n), ctypes.c_int32(_BLEU_OPTIONS[option]),
+        ptr(per, ctypes.c_double), ptr(corpus, ctypes.c_double),
+    )
+    return corpus, per
+
+
+def _bleu_python_fallback(hyp_ids, ref_ids, n, option):
+    from .bleu import corpus_bleu
+
+    hyps = [" ".join(map(str, map(int, h))) for h in hyp_ids]
+    refs = [[" ".join(map(str, map(int, r))) for r in rr] for rr in ref_ids]
+    bleus, per_lists = corpus_bleu(hyps, refs, n=n, option=option)
+    return (np.asarray(bleus),
+            np.asarray(per_lists, np.float64).T.reshape(len(hyps), n))
