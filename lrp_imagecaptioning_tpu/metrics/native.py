@@ -210,3 +210,89 @@ def _bleu_python_fallback(hyp_ids, ref_ids, n, option):
     bleus, per_lists = corpus_bleu(hyps, refs, n=n, option=option)
     return (np.asarray(bleus),
             np.asarray(per_lists, np.float64).T.reshape(len(hyps), n))
+
+
+# ---------------------------------------------------------- native ROUGE ----
+
+_ROUGE_LIB = None
+_ROUGE_TRIED = False
+
+_ROUGE_SRC = os.path.join(os.path.dirname(_SRC), "rouge_scorer.cpp")
+
+
+def _build_and_load_rouge():
+    global _ROUGE_LIB, _ROUGE_TRIED
+    if _ROUGE_TRIED:
+        return _ROUGE_LIB
+    _ROUGE_TRIED = True
+    so_path = os.path.splitext(_ROUGE_SRC)[0] + ".so"
+    try:
+        if (not os.path.exists(so_path)
+                or os.path.getmtime(so_path) < os.path.getmtime(_ROUGE_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", _ROUGE_SRC, "-o", so_path],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so_path)
+        lib.rouge_score_ids.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.rouge_score_ids.restype = None
+        _ROUGE_LIB = lib
+    except Exception as e:  # pragma: no cover - toolchain missing
+        warnings.warn(f"native ROUGE unavailable ({e}); using pure Python")
+        _ROUGE_LIB = None
+    return _ROUGE_LIB
+
+
+def rouge_native_available() -> bool:
+    return _build_and_load_rouge() is not None
+
+
+def rouge_score_ids(
+    hyp_ids: list[np.ndarray],
+    ref_ids: list[list[np.ndarray]],
+    beta: float = 1.2,
+) -> np.ndarray:
+    """Per-hypothesis ROUGE-L over token-id sequences (rouge_l semantics)."""
+    lib = _build_and_load_rouge()
+    if lib is None:
+        return _rouge_python_fallback(hyp_ids, ref_ids, beta)
+    n_hyp = len(hyp_ids)
+    hyp_flat, hyp_off = _flatten([np.asarray(h, np.int32) for h in hyp_ids])
+    all_refs, groups = [], []
+    for i, refs in enumerate(ref_ids):
+        for r in refs:
+            all_refs.append(np.asarray(r, np.int32))
+            groups.append(i)
+    ref_flat, ref_off = _flatten(all_refs)
+    groups_arr = np.asarray(groups, np.int64)
+    out = np.zeros(n_hyp, np.float64)
+
+    def ptr(a, t):
+        if a.size == 0:
+            a = np.zeros(1, dtype=a.dtype)
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    lib.rouge_score_ids(
+        ptr(hyp_flat, ctypes.c_int32), ptr(hyp_off, ctypes.c_int64),
+        ctypes.c_int64(n_hyp),
+        ptr(ref_flat, ctypes.c_int32), ptr(ref_off, ctypes.c_int64),
+        ptr(groups_arr, ctypes.c_int64), ctypes.c_int64(len(all_refs)),
+        ctypes.c_double(beta), ptr(out, ctypes.c_double),
+    )
+    return out
+
+
+def _rouge_python_fallback(hyp_ids, ref_ids, beta):
+    from .rouge import rouge_l
+
+    hyps = [" ".join(map(str, map(int, h))) for h in hyp_ids]
+    refs = [[" ".join(map(str, map(int, r))) for r in rr] for rr in ref_ids]
+    _, per = rouge_l(hyps, refs, beta=beta)
+    return np.asarray(per)

@@ -7,10 +7,13 @@ import pytest
 from lrp_imagecaptioning_tpu.metrics.native import (
     _bleu_python_fallback,
     _python_fallback,
+    _rouge_python_fallback,
     bleu_native_available,
     bleu_score_ids,
     cider_score_ids,
     native_available,
+    rouge_native_available,
+    rouge_score_ids,
 )
 
 
@@ -100,6 +103,24 @@ def test_native_bleu_edge_cases():
     # exact 3-token match: BLEU-2 ~1.0; BLEU-4 is smoothing-dominated
     # (zero 4-gram slots -> tiny/small), faithfully matching pycocoevalcap
     assert per[2, 1] > 0.99
+
+
+@pytest.mark.skipif(not rouge_native_available(), reason="no C++ toolchain")
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_rouge_matches_python(seed):
+    rng = np.random.default_rng(seed)
+    B = 12
+    hyps = [rng.integers(1, 10, rng.integers(0, 15)).astype(np.int32)
+            for _ in range(B)]
+    refs = [[rng.integers(1, 10, rng.integers(1, 15)).astype(np.int32)
+             for _ in range(rng.integers(1, 5))] for _ in range(B)]
+    got = rouge_score_ids(hyps, refs)
+    want = _rouge_python_fallback(hyps, refs, 1.2)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    # exact match scores 1.0
+    same = [np.asarray([1, 2, 3], np.int32)]
+    np.testing.assert_allclose(
+        rouge_score_ids(same, [[same[0]]]), [1.0], atol=1e-15)
 
 
 def test_scst_reward_bleu_weight_matches_reference_formula():
