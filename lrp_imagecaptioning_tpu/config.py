@@ -115,6 +115,13 @@ class TrainConfig:
     max_caption_len: int = 52  # <start> + max_len(50) + <end>
     print_freq: int = 500
     seed: int = 0
+    # Host->device image-transfer dtype for the epoch loops.  "bfloat16"
+    # ships pre-normalized float batches at half width and upcasts on device
+    # (models.captioner.prepare_visual) — the TPU convs consume bf16 anyway,
+    # so only the input quantization itself is new rounding.  uint8 pipelines
+    # are selected at the dataset instead (CaptionDataset(uint8_images=True),
+    # 4x fewer bytes).  "float32" (default) = exact reference parity.
+    upload_dtype: str = "float32"
 
     @property
     def mode(self) -> str:

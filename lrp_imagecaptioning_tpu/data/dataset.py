@@ -34,21 +34,30 @@ def normalize_image(img_uint8: np.ndarray) -> np.ndarray:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def load_image(path: str, height: int, width: int) -> np.ndarray:
-    """Decode + resize + normalize one image to float32 (H, W, 3)."""
+def load_image(path: str, height: int, width: int, *,
+               normalize: bool = True) -> np.ndarray:
+    """Decode + resize + normalize one image to float32 (H, W, 3).
+
+    ``normalize=False`` returns the raw uint8 pixels instead: the TPU-first
+    input pipeline ships uint8 to the device (4x fewer host->device bytes —
+    measured 1036 -> ~260 ms per batch-32 224^2 upload on the axon tunnel)
+    and ImageNet normalization runs on device inside the jitted step
+    (``models.captioner.prepare_visual``), where XLA fuses it into the first
+    conv's input processing."""
     from PIL import Image
 
     with Image.open(path) as im:
         im = im.convert("RGB").resize((width, height))
         arr = np.asarray(im, dtype=np.uint8)
-    return normalize_image(arr)
+    return normalize_image(arr) if normalize else arr
 
 
 @dataclass
 class CaptionBatch:
     """Fixed-shape training batch."""
 
-    images: np.ndarray  # (B, H, W, 3) float32, or (B, 36, 2048) for BU features
+    images: np.ndarray  # (B, H, W, 3) float32 (uint8 with uint8_images=True),
+    #                     or (B, 36, 2048) for BU features
     captions: np.ndarray  # (B, L) int32 — <start> w... <end> <pad>*
     all_captions: np.ndarray  # (B, C, L) int32 — every reference caption
     caption_lengths: np.ndarray  # (B,) int32
@@ -81,6 +90,7 @@ class CaptionDataset:
         num_regions: int = 36,
         feat_dim: int = 2048,
         seed: int = 0,
+        uint8_images: bool = False,
     ):
         self.items = items
         self.split = split
@@ -89,6 +99,12 @@ class CaptionDataset:
         self.feature_key = feature_key
         self.num_regions = num_regions
         self.feat_dim = feat_dim
+        # ship raw uint8 pixels and normalize on device (prepare_visual):
+        # 4x fewer host->device bytes per batch.  Only applies to
+        # file-loaded images; in-memory "image_array" items pass through
+        # with their own dtype (the synthetic corpora are generated directly
+        # in the normalized scale and stay float32).
+        self.uint8_images = uint8_images
         self.rng = np.random.default_rng(seed)
 
     @classmethod
@@ -103,7 +119,8 @@ class CaptionDataset:
     def _load_visual(self, item: dict) -> np.ndarray:
         path = item["image_path"]
         if "image_array" in item:  # toy/in-memory datasets (either path)
-            return np.asarray(item["image_array"], dtype=np.float32)
+            arr = np.asarray(item["image_array"])
+            return arr if arr.dtype == np.uint8 else arr.astype(np.float32)
         if self.from_features:
             # BU path: per-image HDF5 with (<=36, 2048) region features,
             # zero-padded to 36 rows (dataloader.py:80-96).
@@ -115,9 +132,8 @@ class CaptionDataset:
             out = np.zeros((self.num_regions, self.feat_dim), dtype=np.float32)
             out[: min(len(feats), self.num_regions)] = feats[: self.num_regions]
             return out
-        if "image_array" in item:  # toy/in-memory datasets
-            return np.asarray(item["image_array"], dtype=np.float32)
-        return load_image(path, self.height, self.width)
+        return load_image(path, self.height, self.width,
+                          normalize=not self.uint8_images)
 
     def train_batches(
         self, batch_size: int, *, shuffle: bool = True, drop_remainder: bool = True

@@ -154,6 +154,17 @@ class Trainer:
             self._compiled[name] = jax.jit(fn, **kw)
         return self._compiled[name]
 
+    def _upload_images(self, images: np.ndarray) -> np.ndarray:
+        """Cast a float image batch to the configured transfer dtype before
+        the host->device upload (uint8 batches pass through — they were
+        quantized at the dataset).  The jitted steps upcast/normalize on
+        device (models.captioner.prepare_visual)."""
+        if (self.tcfg.upload_dtype != "float32"
+                and images.dtype == np.float32
+                and not self.cfg.is_bu):
+            return images.astype(jnp.bfloat16)
+        return images
+
     # -- shared fine-tuning encode ---------------------------------------
     def _train_encode(self, params, images):
         """Encode for a gradient step.  Returns (feats, bn_stats) where
@@ -275,7 +286,7 @@ class Trainer:
     def scst_batch(self, state: TrainState, batch, rng, num_steps: int):
         """Full SCST step: device rollout -> host CIDEr advantage -> device
         update (the one host round-trip per step, SURVEY.md §5)."""
-        images = jnp.asarray(batch.images)
+        images = jnp.asarray(self._upload_images(batch.images))
         raw, avg = self._encode_cnn_jit(state, images)
         ro = self._jit("scst_rollout", self.scst_rollout,
                        static_argnums=(3,))
@@ -376,7 +387,7 @@ class Trainer:
                              step=state.step + 1), loss
 
     def lrp_scst_batch(self, state: TrainState, batch, rng, num_steps: int):
-        images = jnp.asarray(batch.images)
+        images = jnp.asarray(self._upload_images(batch.images))
         raw, avg = self._encode_cnn_jit(state, images)
         ro = self._jit("lrp_scst_rollout", self.lrp_scst_rollout,
                        static_argnums=(3,))
@@ -424,7 +435,7 @@ class Trainer:
         def upload(batch):
             # runs in the prefetch thread: host->device upload overlaps the
             # consumer's step dispatch
-            return (jax.device_put(jnp.asarray(batch.images), bs),
+            return (jax.device_put(jnp.asarray(self._upload_images(batch.images)), bs),
                     jax.device_put(jnp.asarray(batch.captions), bs),
                     float(batch.caption_lengths.sum()))
 

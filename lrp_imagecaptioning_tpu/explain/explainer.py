@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.vocab import WordMap
-from ..models.captioner import Captioner, CaptionerParams
+from ..models.captioner import Captioner, CaptionerParams, prepare_visual
 from .cnn_gradient import make_vgg_guided_backward, vgg_gradient
 from .cnn_lrp import make_vgg_lrp_backward
 from .gridtd_gradient import grad_cam, gradient_all_words
@@ -134,6 +134,11 @@ class GridTDExplainerBase:
     def _explain_core_inner(self, params: CaptionerParams, image: jax.Array,
                             cnn_stage=None):
         cap, wm = self.cap, self.word_map
+        if not cap.cfg.is_bu:
+            # uint8 request payloads (serving) normalize on device; the
+            # relevance walk explains the NORMALIZED input tensor, exactly
+            # like the reference (preprocess_img, gridTDmodel.py:767-771)
+            image = prepare_visual(image)
         feats = cap.encode(params, image)
         beam = cap.beam_search_single(
             params, feats, wm, beam_size=self.beam_size,

@@ -36,6 +36,30 @@ class CaptionerParams:
     decoder: object  # model-family params (GridTDParams / AOAParams / ...)
 
 
+def prepare_visual(visual: jax.Array) -> jax.Array:
+    """Device-side entry conversion for image tensors (trace-time dtype
+    dispatch — each dtype compiles its own program):
+
+    - uint8: raw pixels shipped by the quantized host pipeline
+      (``CaptionDataset(uint8_images=True)``, 4x fewer host->device bytes) —
+      ImageNet-normalize on device (train.py:21-22 transform semantics);
+      XLA fuses the affine into the first conv's input processing.
+    - bfloat16: ``TrainConfig.upload_dtype="bfloat16"`` half-width upload of
+      pre-normalized floats — upcast to float32 (the MXU consumes bf16 for
+      the convs regardless, so training sees no additional rounding beyond
+      the input quantization itself).
+    - float32: passthrough (default, exact reference parity).
+    """
+    if visual.dtype == jnp.uint8:
+        from ..data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+        x = visual.astype(jnp.float32) / 255.0
+        return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    if visual.dtype != jnp.float32:
+        return visual.astype(jnp.float32)
+    return visual
+
+
 def mask_padded_logits(logits: jax.Array, vocab_size: int) -> jax.Array:
     if logits.shape[-1] == vocab_size:
         return logits
@@ -220,6 +244,7 @@ class Captioner:
         lives in :meth:`project_features`)."""
         if self.cfg.is_bu:
             return visual, None
+        visual = prepare_visual(visual)
         # compute_dtype lowers the CNN forward precision (bfloat16 on TPU);
         # float32 (default) is a no-op.  Relevance stashes are always f32.
         dt = (None if self.cfg.compute_dtype == "float32"
@@ -258,6 +283,7 @@ class Captioner:
         BN state)."""
         if self.cfg.is_bu:
             return self.family.encode(params.decoder, visual, None), None
+        visual = prepare_visual(visual)
         if self.cfg.encoder.startswith("resnet"):
             from .resnet import encode_image_grid_resnet_train
 

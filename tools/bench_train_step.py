@@ -1,0 +1,194 @@
+"""Pure device-side train-step benchmark (XE / LRP-XE).
+
+Separates the jitted step's execution time from the host input feed.  The
+README's full-step numbers (1330 -> 1065 ms/step f32 -> bf16, GridTD+VGG16
+batch 32, 224^2, finetune) were measured through the epoch loop on the axon
+remote-tunnel backend, where every batch upload ships ~19 MB (batch-32 f32
+224^2 images) over the network — so they bound the INPUT PIPELINE, not the
+TPU program.  This tool times
+
+  1. the step itself with all inputs device-resident (state chained through
+     donated buffers, sync on the scalar loss leaf only), and
+  2. the host->device upload of one image+caption batch,
+
+and reports an MFU estimate from the compiled program's own cost analysis so
+"is the step near roofline?" is a recorded number, not an inference.
+
+Replaces nothing in the reference (it has no profiling at all, SURVEY §5);
+this is the TPU build's train-path analogue of tools/roofline_cnn_walk.py.
+
+Usage:
+  python tools/bench_train_step.py --batch 32 --height 224 --finetune \
+      --compute-dtype bfloat16 [--mode xe|lrp] [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="gridtd",
+                    choices=["gridtd", "aoa", "adaptive"])
+    ap.add_argument("--encoder", default="vgg16",
+                    choices=["vgg16", "resnet50", "resnet101", "bu"])
+    ap.add_argument("--mode", default="xe", choices=["xe", "lrp"])
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--height", type=int, default=224)
+    ap.add_argument("--cap-len", type=int, default=22,
+                    help="padded caption length incl. <start>/<end>")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--vocab", type=int, default=9582)
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--upload-dtype", default="float32",
+                    choices=["float32", "bfloat16", "uint8"],
+                    help="host->device image transfer dtype: bfloat16 halves "
+                         "the bytes (TrainConfig.upload_dtype), uint8 "
+                         "quarters them (CaptionDataset(uint8_images=True)); "
+                         "the step normalizes/upcasts on device "
+                         "(prepare_visual)")
+    ap.add_argument("--finetune", action="store_true",
+                    help="encoder gradients on (reference train.py:95-109)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the virtual CPU backend (smoke)")
+    ap.add_argument("--peak-tflops", type=float, default=197.0,
+                    help="bf16 peak for MFU (v5e ~197; this backend runs "
+                         "f32 matmuls as one bf16 MXU pass, see CLAUDE.md)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=1")
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lrp_imagecaptioning_tpu.config import (
+        ExperimentConfig, ModelConfig, TrainConfig)
+    from lrp_imagecaptioning_tpu.data.vocab import build_word_map
+    from lrp_imagecaptioning_tpu.engine.train import Trainer
+    from lrp_imagecaptioning_tpu.parallel import batch_sharding, replicated
+
+    word_map = build_word_map([[f"w{i}"] for i in range(args.vocab)],
+                              min_word_freq=1)
+    bu = args.encoder == "bu"
+    cfg = ModelConfig(
+        model_type=args.model, encoder=args.encoder,
+        embed_dim=1024 if bu else 512, hidden_dim=1024 if bu else 512,
+        vocab_size=len(word_map), height=args.height, width=args.height,
+        vocab_pad_multiple=128, compute_dtype=args.compute_dtype,
+    )
+    exp = ExperimentConfig(
+        model=cfg,
+        train=TrainConfig(batch_size=args.batch,
+                          finetune_encoder=args.finetune,
+                          lrp_tune=args.mode == "lrp"),
+    )
+    trainer = Trainer(exp, word_map)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    if args.mode == "xe":
+        step = trainer.compiled_xe_step()
+    else:
+        bs = batch_sharding(trainer.mesh, exp.mesh)
+        step = trainer._jit(
+            "lrp_xe", trainer.lrp_xe_step,
+            in_shardings=(None, bs, bs, replicated(trainer.mesh)),
+            donate_argnums=(0,),
+        )
+
+    rng = np.random.default_rng(0)
+    shape = ((args.batch, 36, cfg.bu_feat_dim) if bu
+             else (args.batch, args.height, args.height, 3))
+    images_h = rng.normal(size=shape).astype(np.float32)
+    if not bu and args.upload_dtype == "uint8":
+        images_h = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    elif not bu and args.upload_dtype == "bfloat16":
+        images_h = images_h.astype(jnp.bfloat16)
+    caps_h = np.zeros((args.batch, args.cap_len), np.int32)
+    caps_h[:, 0] = word_map.start
+    caps_h[:, 1:-1] = rng.integers(1, args.vocab, (args.batch, args.cap_len - 2))
+    caps_h[:, -1] = word_map.end
+
+    def sync(x):
+        # device->host transfer forces completion (block_until_ready does
+        # not synchronize on the remote-tunnel backend)
+        return np.asarray(x)
+
+    # -- input-feed cost: host->device upload of one batch ----------------
+    up_times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        img_d = jax.device_put(jnp.asarray(images_h))
+        cap_d = jax.device_put(jnp.asarray(caps_h))
+        sync(img_d.ravel()[0])
+        up_times.append(time.perf_counter() - t0)
+    upload_ms = 1e3 * min(up_times)
+    step_rng = jax.device_put(jax.random.PRNGKey(1))
+
+    # -- step time: warmup (compile) then chained steady-state ------------
+    state, loss, _ = step(state, img_d, cap_d, step_rng)
+    sync(loss)
+    state, loss, _ = step(state, img_d, cap_d, step_rng)
+    sync(loss)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, loss, acc = step(state, img_d, cap_d, step_rng)
+    sync(loss)
+    dt = time.perf_counter() - t0
+    step_ms = 1e3 * dt / args.iters
+
+    # -- compiled cost analysis -> MFU ------------------------------------
+    flops = None
+    try:
+        # same jit object -> the lowering hits the compile cache
+        ca = step.lower(state, img_d, cap_d, step_rng).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    mfu = (flops / (dt / args.iters) / (args.peak_tflops * 1e12)
+           if flops else None)
+
+    print(json.dumps({
+        "metric": f"{args.mode}_train_step",
+        "value": round(step_ms, 2),
+        "unit": "ms/step_device_resident",
+        "images_per_sec": round(args.batch / (dt / args.iters), 2),
+        "upload_ms_per_batch": round(upload_ms, 2),
+        "upload_mb": round((images_h.nbytes + caps_h.nbytes) / 1e6, 2),
+        "flops_per_step": flops,
+        "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
+        "model": args.model, "encoder": args.encoder,
+        "batch": args.batch, "height": args.height,
+        "compute_dtype": args.compute_dtype,
+        "upload_dtype": args.upload_dtype,
+        "finetune_encoder": args.finetune,
+        "platform": jax.devices()[0].platform,
+        "final_loss": float(sync(loss)),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from the highest-CIDEr checkpoint under "
                         "save_path (the reference globs BEST_checkpoint_*, "
                         "train.py:348)")
+    p.add_argument("--uint8-images", action="store_true",
+                   help="ship raw uint8 pixels to the device and "
+                        "ImageNet-normalize there (4x fewer host->device "
+                        "bytes; file-loaded images only)")
+    p.add_argument("--upload-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="image-batch transfer dtype; bfloat16 halves the "
+                        "upload bytes (the TPU convs consume bf16 anyway)")
     p.add_argument("--print-freq", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-parallel", type=int, default=-1)
@@ -90,6 +98,7 @@ def config_from_args(args) -> "ExperimentConfig":
                 cider_tune=args.cider_tune, lrp_tune=args.lrp_tune,
                 lrp_cider_tune=args.lrp_cider_tune,
                 scst_ce_weight=args.scst_ce_weight,
+                upload_dtype=args.upload_dtype,
                 print_freq=args.print_freq, seed=args.seed,
             ),
             mesh=MeshConfig(data_parallel=args.data_parallel,
@@ -133,7 +142,8 @@ def main(args=None):
                              "(or use --toy)")
         word_map = WordMap.load(args.wordmap)
         kw = dict(height=exp.model.height, width=exp.model.width,
-                  from_features=exp.model.is_bu)
+                  from_features=exp.model.is_bu,
+                  uint8_images=args.uint8_images)
         train_ds = CaptionDataset.from_json(args.train_json, "train", **kw)
         val_ds = CaptionDataset.from_json(args.val_json, "val", **kw)
 
