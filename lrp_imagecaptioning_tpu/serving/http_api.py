@@ -13,7 +13,9 @@ Endpoints:
 
 ``<input>`` is either a nested JSON list (float32, exact service input
 shape — (H, W, 3) image or (36, D) BU region features) or
-``{"b64": <base64 of float32 bytes>, "shape": [...]}`` for efficiency.
+``{"b64": <base64 of packed bytes>, "shape": [...], "dtype": "float32"}``
+for efficiency.  ``"dtype": "uint8"`` sends raw pixels (4x smaller wire +
+device payload; normalized on device).
 
 Requests are handled on ThreadingHTTPServer threads; each blocks on its
 future while the single engine worker batches concurrent arrivals — HTTP
@@ -33,10 +35,17 @@ from .service import explanation_payload
 
 
 def decode_input(spec) -> np.ndarray:
-    """JSON input -> float32 ndarray (nested lists or b64-packed)."""
+    """JSON input -> ndarray (nested lists or b64-packed).
+
+    ``dtype`` (optional, default float32) may be ``"uint8"``: raw pixel
+    payloads are 4x smaller on the wire AND ship to the device unconverted
+    (ImageNet normalization runs on device, models.captioner.prepare_visual)."""
     if isinstance(spec, dict):
+        dtype = np.dtype(spec.get("dtype", "float32"))
+        if dtype not in (np.dtype(np.float32), np.dtype(np.uint8)):
+            raise ValueError(f"unsupported input dtype {dtype}")
         raw = base64.b64decode(spec["b64"])
-        arr = np.frombuffer(raw, dtype=np.float32).copy()
+        arr = np.frombuffer(raw, dtype=dtype).copy()
         return arr.reshape(spec["shape"])
     return np.asarray(spec, dtype=np.float32)
 

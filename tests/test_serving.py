@@ -507,3 +507,48 @@ def test_explanation_payload_allheads_shape():
     out = explanation_payload([exp, exp])
     assert len(out["heads"]) == 2
     assert out["heads"][0]["caption"] == ["a"]
+
+
+# ----------------------------------------------------- uint8 ingestion ----
+
+def test_caption_service_uint8_matches_f32(tiny_setup):
+    """Raw-uint8 requests (device-side normalization) produce the same
+    captions as host-normalized float requests; mixed batches coalesce."""
+    from lrp_imagecaptioning_tpu.data.dataset import normalize_image
+
+    cap, params, wm, _ = tiny_setup
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, size=(3, 64, 64, 3), dtype=np.uint8)
+    f32 = normalize_image(u8)
+    svc = CaptionService(cap, params, wm, batch_size=4, decode="greedy",
+                         max_delay_s=0.2).start()
+    try:
+        svc.warmup(dtypes=("float32", "uint8"))
+        got_u8 = [svc.submit(u8[i]) for i in range(3)]
+        got_u8 = [f.result(timeout=120)["caption"] for f in got_u8]
+        got_f32 = [svc.submit(f32[i]) for i in range(3)]
+        got_f32 = [f.result(timeout=120)["caption"] for f in got_f32]
+        assert got_u8 == got_f32
+        # mixed dtype batch: uint8 entries host-normalize into the f32 program
+        mixed = [svc.submit(u8[0]), svc.submit(f32[1]), svc.submit(u8[2])]
+        mixed = [f.result(timeout=120)["caption"] for f in mixed]
+        assert mixed == [got_f32[0], got_f32[1], got_f32[2]]
+    finally:
+        svc.stop()
+
+
+def test_http_decode_input_uint8():
+    import base64 as b64mod
+
+    from lrp_imagecaptioning_tpu.serving.http_api import decode_input
+
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    spec = {"b64": b64mod.b64encode(arr.tobytes()).decode(),
+            "shape": [4, 4, 3], "dtype": "uint8"}
+    out = decode_input(spec)
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, arr)
+    with pytest.raises(ValueError):
+        decode_input({"b64": spec["b64"], "shape": [4, 4, 3],
+                      "dtype": "int64"})

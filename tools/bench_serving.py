@@ -39,12 +39,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_regime(make_service, images, *, duration_s: float, clients: int):
+def run_regime(make_service, images, *, duration_s: float, clients: int,
+               warmup_dtypes=("float32",)):
     """Closed-loop load: ``clients`` threads each loop submit->result until
     the deadline.  Returns client-side throughput + engine-side stats."""
     svc = make_service().start()
     try:
-        svc.warmup()  # compile outside the measured window
+        svc.warmup(dtypes=warmup_dtypes)  # compile outside the measured window
         stop_at = time.monotonic() + duration_s
         counts = [0] * clients
         lat = []
@@ -111,6 +112,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-full-payload", action="store_true",
                     help="skip the map-transfer regime (slow on the tunnel)")
+    ap.add_argument("--input-dtype", default="float32",
+                    choices=["float32", "uint8"],
+                    help="request payload dtype: uint8 ships raw pixels "
+                         "(4x smaller submit->device transfer, normalized "
+                         "on device via prepare_visual)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -154,8 +160,12 @@ def main():
     explainer = build_explainer("lrp", cap, params, word_map,
                                 max_words=max_words)
     rng = np.random.default_rng(0)
-    images = [rng.normal(size=(hw, hw, 3)).astype(np.float32)
-              for _ in range(4 * batch)]
+    if args.input_dtype == "uint8":
+        images = [rng.integers(0, 256, size=(hw, hw, 3), dtype=np.uint8)
+                  for _ in range(4 * batch)]
+    else:
+        images = [rng.normal(size=(hw, hw, 3)).astype(np.float32)
+                  for _ in range(4 * batch)]
     delay = args.max_delay_ms / 1e3
 
     regimes = {}
@@ -193,10 +203,12 @@ def main():
         plan.insert(2, ("saturated_full", svc_full, sat))
     for name, make, clients in plan:
         regimes[name] = run_regime(make, images, duration_s=args.duration,
-                                   clients=clients)
+                                   clients=clients,
+                                   warmup_dtypes=(args.input_dtype,))
         print(json.dumps({name: regimes[name]}), flush=True)
 
     result = {
+        "input_dtype": args.input_dtype,
         "backend": jax.default_backend(),
         "model": args.model,
         "batch": batch,
