@@ -239,6 +239,26 @@ class Trainer:
         )
         return greedy.tokens, sampled.tokens
 
+    def scst_encode_rollout(self, state: TrainState, images, num_steps: int,
+                            rng):
+        """Frozen-CNN encode + both rollouts as ONE program.
+
+        The SCST step's real device work is tiny (measured batch-32 224²:
+        encode 12 ms + rollout 5 ms + update 9 ms) but each separate jit
+        call pays the host round trip, which dominates on a remote-tunnel
+        device (733 ms end-to-end vs 41 ms of phases).  Fusing encode into
+        the rollout program removes one round trip per step; raw/avg come
+        back as device handles for the update to share (the reference
+        re-runs the CNN twice per batch instead, train.py:189-192).
+        Measured on v5e with a device-resident batch
+        (tools/bench_train_step.py --mode scst): 105.5 ms/step = 303
+        img/s, phases encode+rollout 15.1 / tokens-to-host 6.6 / host
+        CIDEr 9.7 / update 10.6 ms — the residual is the tunnel's three
+        remaining per-step round trips."""
+        raw, avg = self.captioner.encode_cnn(state.params, images)
+        g, s = self.scst_rollout(state, raw, avg, num_steps, rng)
+        return raw, avg, g, s
+
     def scst_update(self, state: TrainState, raw, avg, images, sampled,
                     reward, captions=None):
         """Policy-gradient update: teacher-force the sampled sequence to
@@ -284,13 +304,15 @@ class Trainer:
                              step=state.step + 1), loss
 
     def scst_batch(self, state: TrainState, batch, rng, num_steps: int):
-        """Full SCST step: device rollout -> host CIDEr advantage -> device
-        update (the one host round-trip per step, SURVEY.md §5)."""
-        images = jnp.asarray(self._upload_images(batch.images))
-        raw, avg = self._encode_cnn_jit(state, images)
-        ro = self._jit("scst_rollout", self.scst_rollout,
-                       static_argnums=(3,))
-        greedy_toks, sampled_toks = ro(state, raw, avg, num_steps, rng)
+        """Full SCST step: device encode+rollout (one program) -> host CIDEr
+        advantage -> device update (the one host round-trip per step,
+        SURVEY.md §5).  ``batch.images`` may already be a device array (the
+        prefetched epoch loop uploads in its producer thread)."""
+        images = (batch.images if isinstance(batch.images, jax.Array)
+                  else jnp.asarray(self._upload_images(batch.images)))
+        ro = self._jit("scst_encode_rollout", self.scst_encode_rollout,
+                       static_argnums=(2,))
+        raw, avg, greedy_toks, sampled_toks = ro(state, images, num_steps, rng)
         reward = get_self_critical_reward(
             np.asarray(greedy_toks), batch.all_captions, np.asarray(sampled_toks),
             self.word_map,
@@ -386,12 +408,19 @@ class Trainer:
         return state.replace(params=params, opt_state=opt_state,
                              step=state.step + 1), loss
 
+    def lrp_scst_encode_rollout(self, state: TrainState, images,
+                                num_steps: int, rng):
+        """Encode + LRP rollouts fused like :meth:`scst_encode_rollout`."""
+        raw, avg = self.captioner.encode_cnn(state.params, images)
+        g, s = self.lrp_scst_rollout(state, raw, avg, num_steps, rng)
+        return raw, avg, g, s
+
     def lrp_scst_batch(self, state: TrainState, batch, rng, num_steps: int):
-        images = jnp.asarray(self._upload_images(batch.images))
-        raw, avg = self._encode_cnn_jit(state, images)
-        ro = self._jit("lrp_scst_rollout", self.lrp_scst_rollout,
-                       static_argnums=(3,))
-        greedy_toks, sampled_toks = ro(state, raw, avg, num_steps, rng)
+        images = (batch.images if isinstance(batch.images, jax.Array)
+                  else jnp.asarray(self._upload_images(batch.images)))
+        ro = self._jit("lrp_scst_encode_rollout", self.lrp_scst_encode_rollout,
+                       static_argnums=(2,))
+        raw, avg, greedy_toks, sampled_toks = ro(state, images, num_steps, rng)
         reward = get_self_critical_reward(
             np.asarray(greedy_toks), batch.all_captions, np.asarray(sampled_toks),
             self.word_map,
@@ -467,7 +496,19 @@ class Trainer:
         rngs = np.asarray(jax.random.split(rng, n_steps + 1))
         loss_refs = []  # device refs — materialize at boundaries only
         rewards = AverageMeter()
-        for i, batch in enumerate(ds.train_batches(self.tcfg.batch_size)):
+
+        def upload(batch):
+            # producer-thread host->device image upload overlaps the consumer
+            # step (same double buffering as the teacher-forced loop; the
+            # SCST semantics are untouched — rollout N+1 still runs on the
+            # params produced by update N)
+            import dataclasses as _dc
+
+            return _dc.replace(batch, images=jax.device_put(
+                jnp.asarray(self._upload_images(batch.images))))
+
+        for i, batch in enumerate(ds.train_batches_prefetched(
+                self.tcfg.batch_size, transform=upload)):
             state, loss, rew = step_fn(state, batch,
                                        rngs[min(i, n_steps - 1)], num_steps)
             loss_refs.append(loss)

@@ -39,7 +39,11 @@ def main():
                     choices=["gridtd", "aoa", "adaptive"])
     ap.add_argument("--encoder", default="vgg16",
                     choices=["vgg16", "resnet50", "resnet101", "bu"])
-    ap.add_argument("--mode", default="xe", choices=["xe", "lrp"])
+    ap.add_argument("--mode", default="xe", choices=["xe", "lrp", "scst"],
+                    help="scst measures the per-phase split of one SCST "
+                         "step: frozen-CNN encode, rollout program, "
+                         "token device->host transfer, host CIDEr reward "
+                         "(native C++ scorer), policy-gradient update")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--height", type=int, default=224)
     ap.add_argument("--cap-len", type=int, default=22,
@@ -106,6 +110,97 @@ def main():
     )
     trainer = Trainer(exp, word_map)
     state = trainer.init_state(jax.random.PRNGKey(0))
+
+    rng0 = np.random.default_rng(0)
+
+    def sync0(x):
+        return np.asarray(x)
+
+    if args.mode == "scst":
+        import types
+
+        from lrp_imagecaptioning_tpu.engine.scst import (
+            get_self_critical_reward)
+
+        shape0 = ((args.batch, 36, cfg.bu_feat_dim) if bu
+                  else (args.batch, args.height, args.height, 3))
+        img_d = jax.device_put(jnp.asarray(
+            rng0.normal(size=shape0).astype(np.float32)))
+        all_caps = np.zeros((args.batch, 5, args.cap_len), np.int32)
+        all_caps[:, :, 0] = word_map.start
+        all_caps[:, :, 1:-1] = rng0.integers(
+            1, args.vocab, (args.batch, 5, args.cap_len - 2))
+        all_caps[:, :, -1] = word_map.end
+        step_rng = jax.device_put(jax.random.PRNGKey(1))
+        num_steps = args.cap_len - 1
+
+        def sync_out(out):
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            sync0(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
+
+        def timed(fn, n=args.iters):
+            # warmup MUST sync: dispatch is async, so an unsynced compile
+            # would leak into the timed window (observed: a 150 s encode
+            # compile read as "15 s/call")
+            sync_out(fn())
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn()
+            sync_out(out)
+            return 1e3 * (time.perf_counter() - t0) / n
+
+        ro = trainer._jit("scst_encode_rollout", trainer.scst_encode_rollout,
+                          static_argnums=(2,))
+        ro_ms = timed(lambda: ro(state, img_d, num_steps, step_rng))
+        raw, avg, greedy_d, sampled_d = ro(state, img_d, num_steps, step_rng)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            greedy_h = np.asarray(greedy_d)
+            sampled_h = np.asarray(sampled_d)
+        xfer_ms = 1e3 * (time.perf_counter() - t0) / args.iters
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            reward = get_self_critical_reward(
+                greedy_h, all_caps, sampled_h, word_map,
+                cider_reward_weight=1.0, bleu_reward_weight=0.0)
+        reward_ms = 1e3 * (time.perf_counter() - t0) / args.iters
+        upd = trainer._jit("scst_update", trainer.scst_update)
+        reward_d = jnp.asarray(reward)
+        upd_ms = timed(
+            lambda: upd(state, raw, avg, img_d, sampled_d, reward_d, None)[1])
+        batch_obj = types.SimpleNamespace(
+            images=np.asarray(img_d), all_captions=all_caps, captions=None)
+        full_ms = timed(
+            lambda: trainer.scst_batch(state, batch_obj, step_rng,
+                                       num_steps)[1],
+            n=max(4, args.iters // 4))
+        # epoch-loop form: the prefetch thread uploads, the step sees a
+        # device-resident batch
+        batch_dev = types.SimpleNamespace(
+            images=img_d, all_captions=all_caps, captions=None)
+        full_dev_ms = timed(
+            lambda: trainer.scst_batch(state, batch_dev, step_rng,
+                                       num_steps)[1],
+            n=max(4, args.iters // 4))
+        print(json.dumps({
+            "metric": "scst_train_step", "value": round(full_ms, 2),
+            "unit": "ms/step_end_to_end",
+            "images_per_sec": round(args.batch / (full_ms / 1e3), 2),
+            "step_ms_device_resident_batch": round(full_dev_ms, 2),
+            "images_per_sec_prefetched": round(
+                args.batch / (full_dev_ms / 1e3), 2),
+            "phases_ms": {
+                "encode_rollout_program": round(ro_ms, 2),
+                "tokens_to_host": round(xfer_ms, 2),
+                "host_reward_cider": round(reward_ms, 2),
+                "update_program": round(upd_ms, 2),
+            },
+            "model": args.model, "encoder": args.encoder,
+            "batch": args.batch, "height": args.height,
+            "finetune_encoder": args.finetune,
+            "platform": jax.devices()[0].platform,
+        }))
+        return
 
     if args.mode == "xe":
         step = trainer.compiled_xe_step()
