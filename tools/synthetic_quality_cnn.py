@@ -257,6 +257,12 @@ def main(argv=None):
                         "StandardCheckpointer, one subdir per run name) — "
                         "feeds export_torch.py / bench --params-checkpoint")
     p.add_argument("--sharp-epochs", type=int, default=30)
+    p.add_argument("--scst-warm-epochs", type=int, default=12)
+    p.add_argument("--scst-epochs", type=int, default=6)
+    p.add_argument("--scst-ce-weight", type=float, default=1.0,
+                   help="CE-anchor weight for the scst run (the BU artifact "
+                        "output/quality_cider_ce_w1.json recorded w=1.0 "
+                        "holding CIDEr where pure SCST collapsed)")
     p.add_argument("--sharp-objects", type=int, default=24)
     p.add_argument("--sharp-height", type=int, default=64)
     p.add_argument("--sharp-train-images", type=int, default=800)
@@ -286,7 +292,7 @@ def main(argv=None):
               "images", flush=True)
 
     def run(name, encoder, finetune, epochs, train_ds, val_ds,
-            height=None, exact_match=False):
+            height=None, exact_match=False, warm_state=None, train_kw=None):
         height = height or args.height
         if args.model != "gridtd":
             name = f"{args.model}_{name}"
@@ -298,10 +304,16 @@ def main(argv=None):
         )
         t = TrainConfig(batch_size=args.batch_size, epochs=epochs,
                         max_caption_len=16, print_freq=100,
-                        finetune_encoder=finetune)
+                        finetune_encoder=finetune, **(train_kw or {}))
         tr = Trainer(ExperimentConfig(model=model, train=t,
                                       mesh=MeshConfig()), word_map)
         st0 = tr.init_state(jax.random.PRNGKey(0))
+        if warm_state is not None:
+            # copy — the jitted steps donate their state and would
+            # invalidate the shared warm buffers otherwise
+            import jax.numpy as jnp
+            st0 = st0.replace(params=jax.tree_util.tree_map(
+                jnp.array, warm_state.params))
         init_bn = (bn_stats_host(st0.params.encoder)
                    if encoder.startswith("resnet") else None)
         t0 = time.time()
@@ -314,6 +326,8 @@ def main(argv=None):
             "seconds": time.time() - t0,
             "samples": sample_captions(tr, st, val_ds),
         }
+        if train_kw:
+            entry["train_kw"] = dict(train_kw)
         if encoder.startswith("resnet"):
             entry["bn_stat_drift"] = bn_stat_drift(init_bn,
                                                    st.params.encoder)
@@ -333,7 +347,7 @@ def main(argv=None):
                       "object_recall", "object_precision",
                       "objects_all_correct", "order_ok_given_correct")}),
             flush=True)
-        return entry
+        return entry, st, tr
 
     if "frozen" in runs:
         run("vgg16_frozen", "vgg16", False, args.epochs, train_ds, val_ds)
@@ -356,6 +370,41 @@ def main(argv=None):
               f"{len(sharp_val)} val images", flush=True)
         run("vgg16_sharp_finetune", "vgg16", True, args.sharp_epochs,
             sharp_tr, sharp_val, height=args.sharp_height, exact_match=True)
+
+    if "scst" in runs:
+        # SCST on the CNN path at scale — newly practical: the fused
+        # encode+rollout step (engine/train.py:scst_encode_rollout) measures
+        # 105.5 ms/step device-resident where the old 4-dispatch step paid
+        # ~733 ms of tunnel round trips per step.  XE warm on the sharp
+        # corpus, then cider_tune with the CE anchor (the BU runs recorded
+        # pure SCST collapsing after epoch 0 on saturated synthetic tasks,
+        # docs/QUALITY.md); optional 'scst_pure' branch reproduces the
+        # unguarded reference loss (train.py:182-210) for contrast.
+        scst_tr, scst_val = build_image_corpus(
+            word_map, num_train=args.sharp_train_images,
+            num_val=args.val_images, height=args.sharp_height,
+            width=args.sharp_height, num_objects=args.sharp_objects,
+            sharp=True,
+        )
+        print(f"scst sharp corpus: {len(scst_tr)} train pairs, "
+              f"{len(scst_val)} val images", flush=True)
+        _, warm_st, _ = run("vgg16_scst_xe_warm", "vgg16", True,
+                            args.scst_warm_epochs, scst_tr, scst_val,
+                            height=args.sharp_height, exact_match=True)
+        # SCST stage freezes the encoder: the fused step's frozen-CNN encode
+        # is the production fast path, and the reference's fine-tune stages
+        # likewise start from a trained checkpoint
+        for branch, w in [("vgg16_scst_cider_ce", args.scst_ce_weight)] + (
+                [("vgg16_scst_cider_pure", 0.0)]
+                if "scst_pure" in runs else []):
+            e, _, _ = run(branch, "vgg16", False, args.scst_epochs,
+                          scst_tr, scst_val, height=args.sharp_height,
+                          exact_match=True, warm_state=warm_st,
+                          train_kw={"cider_tune": True, "scst_ce_weight": w,
+                                    "decoder_lr": 5e-5})
+            e["start_cider_xe"] = results[
+                ("" if args.model == "gridtd" else args.model + "_")
+                + "vgg16_scst_xe_warm"]["final_cider"]
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
