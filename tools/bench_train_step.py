@@ -39,11 +39,13 @@ def main():
                     choices=["gridtd", "aoa", "adaptive"])
     ap.add_argument("--encoder", default="vgg16",
                     choices=["vgg16", "resnet50", "resnet101", "bu"])
-    ap.add_argument("--mode", default="xe", choices=["xe", "lrp", "scst"],
-                    help="scst measures the per-phase split of one SCST "
-                         "step: frozen-CNN encode, rollout program, "
-                         "token device->host transfer, host CIDEr reward "
-                         "(native C++ scorer), policy-gradient update")
+    ap.add_argument("--mode", default="xe",
+                    choices=["xe", "lrp", "scst", "lrp_scst"],
+                    help="scst/lrp_scst measure the per-phase split of one "
+                         "(LRP-)SCST step: frozen-CNN encode fused with the "
+                         "rollout program, token device->host transfer, host "
+                         "CIDEr reward (native C++ scorer), policy-gradient "
+                         "update")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--height", type=int, default=224)
     ap.add_argument("--cap-len", type=int, default=22,
@@ -116,11 +118,16 @@ def main():
     def sync0(x):
         return np.asarray(x)
 
-    if args.mode == "scst":
+    if args.mode in ("scst", "lrp_scst"):
         import types
 
         from lrp_imagecaptioning_tpu.engine.scst import (
             get_self_critical_reward)
+
+        lrp = args.mode == "lrp_scst"
+        if lrp and args.model == "adaptive":
+            ap.error("lrp_scst: the adaptive family has no LRP-inference "
+                     "weighting (config.py:42)")
 
         shape0 = ((args.batch, 36, cfg.bu_feat_dim) if bu
                   else (args.batch, args.height, args.height, 3))
@@ -149,8 +156,11 @@ def main():
             sync_out(out)
             return 1e3 * (time.perf_counter() - t0) / n
 
-        ro = trainer._jit("scst_encode_rollout", trainer.scst_encode_rollout,
-                          static_argnums=(2,))
+        ro = (trainer._jit("lrp_scst_encode_rollout",
+                           trainer.lrp_scst_encode_rollout,
+                           static_argnums=(2,)) if lrp else
+              trainer._jit("scst_encode_rollout", trainer.scst_encode_rollout,
+                           static_argnums=(2,)))
         ro_ms = timed(lambda: ro(state, img_d, num_steps, step_rng))
         raw, avg, greedy_d, sampled_d = ro(state, img_d, num_steps, step_rng)
         t0 = time.perf_counter()
@@ -164,26 +174,32 @@ def main():
                 greedy_h, all_caps, sampled_h, word_map,
                 cider_reward_weight=1.0, bleu_reward_weight=0.0)
         reward_ms = 1e3 * (time.perf_counter() - t0) / args.iters
-        upd = trainer._jit("scst_update", trainer.scst_update)
         reward_d = jnp.asarray(reward)
-        upd_ms = timed(
-            lambda: upd(state, raw, avg, img_d, sampled_d, reward_d, None)[1])
+        if lrp:
+            upd = trainer._jit("lrp_scst_update", trainer.lrp_scst_update)
+            upd_ms = timed(
+                lambda: upd(state, raw, avg, img_d, sampled_d, reward_d)[1])
+            step_fn = trainer.lrp_scst_batch
+        else:
+            upd = trainer._jit("scst_update", trainer.scst_update)
+            upd_ms = timed(
+                lambda: upd(state, raw, avg, img_d, sampled_d, reward_d,
+                            None)[1])
+            step_fn = trainer.scst_batch
         batch_obj = types.SimpleNamespace(
             images=np.asarray(img_d), all_captions=all_caps, captions=None)
         full_ms = timed(
-            lambda: trainer.scst_batch(state, batch_obj, step_rng,
-                                       num_steps)[1],
+            lambda: step_fn(state, batch_obj, step_rng, num_steps)[1],
             n=max(4, args.iters // 4))
         # epoch-loop form: the prefetch thread uploads, the step sees a
         # device-resident batch
         batch_dev = types.SimpleNamespace(
             images=img_d, all_captions=all_caps, captions=None)
         full_dev_ms = timed(
-            lambda: trainer.scst_batch(state, batch_dev, step_rng,
-                                       num_steps)[1],
+            lambda: step_fn(state, batch_dev, step_rng, num_steps)[1],
             n=max(4, args.iters // 4))
         print(json.dumps({
-            "metric": "scst_train_step", "value": round(full_ms, 2),
+            "metric": f"{args.mode}_train_step", "value": round(full_ms, 2),
             "unit": "ms/step_end_to_end",
             "images_per_sec": round(args.batch / (full_ms / 1e3), 2),
             "step_ms_device_resident_batch": round(full_dev_ms, 2),
