@@ -307,9 +307,14 @@ class Trainer:
         """Full SCST step: device encode+rollout (one program) -> host CIDEr
         advantage -> device update (the one host round-trip per step,
         SURVEY.md §5).  ``batch.images`` may already be a device array (the
-        prefetched epoch loop uploads in its producer thread)."""
+        prefetched epoch loop uploads in its producer thread).  Batch inputs
+        are placed with the mesh's data-parallel sharding so the rollout and
+        update actually split rows over ``data`` like the XE step (committed
+        shardings drive GSPMD; without them the batch stays replicated)."""
+        bs = batch_sharding(self.mesh, self.exp.mesh)
         images = (batch.images if isinstance(batch.images, jax.Array)
-                  else jnp.asarray(self._upload_images(batch.images)))
+                  else jax.device_put(
+                      jnp.asarray(self._upload_images(batch.images)), bs))
         ro = self._jit("scst_encode_rollout", self.scst_encode_rollout,
                        static_argnums=(2,))
         raw, avg, greedy_toks, sampled_toks = ro(state, images, num_steps, rng)
@@ -320,10 +325,10 @@ class Trainer:
             bleu_reward_weight=self.tcfg.bleu_reward_weight,
         )
         upd = self._jit("scst_update", self.scst_update)
-        caps = (jnp.asarray(batch.captions)
+        caps = (jax.device_put(jnp.asarray(batch.captions), bs)
                 if self.tcfg.scst_ce_weight > 0.0 else None)
         state, loss = upd(state, raw, avg, images, sampled_toks,
-                          jnp.asarray(reward), caps)
+                          jax.device_put(jnp.asarray(reward), bs), caps)
         # loss stays an unmaterialized device ref (float() would add a tunnel
         # round trip per step); reward is host numpy already
         return state, loss, float(reward[:, 0].mean())
@@ -416,8 +421,10 @@ class Trainer:
         return raw, avg, g, s
 
     def lrp_scst_batch(self, state: TrainState, batch, rng, num_steps: int):
+        bs = batch_sharding(self.mesh, self.exp.mesh)
         images = (batch.images if isinstance(batch.images, jax.Array)
-                  else jnp.asarray(self._upload_images(batch.images)))
+                  else jax.device_put(
+                      jnp.asarray(self._upload_images(batch.images)), bs))
         ro = self._jit("lrp_scst_encode_rollout", self.lrp_scst_encode_rollout,
                        static_argnums=(2,))
         raw, avg, greedy_toks, sampled_toks = ro(state, images, num_steps, rng)
@@ -429,7 +436,7 @@ class Trainer:
         )
         upd = self._jit("lrp_scst_update", self.lrp_scst_update)
         state, loss = upd(state, raw, avg, images, sampled_toks,
-                          jnp.asarray(reward))
+                          jax.device_put(jnp.asarray(reward), bs))
         return state, loss, float(reward[:, 0].mean())
 
     # -- epoch loops ----------------------------------------------------
@@ -497,15 +504,18 @@ class Trainer:
         loss_refs = []  # device refs — materialize at boundaries only
         rewards = AverageMeter()
 
+        bs = batch_sharding(self.mesh, self.exp.mesh)
+
         def upload(batch):
             # producer-thread host->device image upload overlaps the consumer
             # step (same double buffering as the teacher-forced loop; the
             # SCST semantics are untouched — rollout N+1 still runs on the
-            # params produced by update N)
+            # params produced by update N); placed with the data-parallel
+            # sharding so the step splits rows over the mesh
             import dataclasses as _dc
 
             return _dc.replace(batch, images=jax.device_put(
-                jnp.asarray(self._upload_images(batch.images))))
+                jnp.asarray(self._upload_images(batch.images)), bs))
 
         for i, batch in enumerate(ds.train_batches_prefetched(
                 self.tcfg.batch_size, transform=upload)):

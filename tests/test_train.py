@@ -85,6 +85,45 @@ def test_sharded_matches_single_device(toy, eight_devices):
         )
 
 
+def test_scst_sharded_matches_single_device(toy, eight_devices):
+    """The SCST step splits rows over the mesh's data axis (committed batch
+    shardings drive GSPMD — without them the batch stays replicated) and its
+    numerics match single-device, like the XE step."""
+    train_ds, _, wm = toy
+    batch = next(train_ds.train_batches(8, shuffle=False))
+    from lrp_imagecaptioning_tpu.parallel import batch_sharding
+
+    results = {}
+    for name, mesh_cfg in [
+        ("single", MeshConfig(data_parallel=1, model_parallel=1)),
+        ("dp8", MeshConfig(data_parallel=8, model_parallel=1)),
+        ("dp4mp2", MeshConfig(data_parallel=4, model_parallel=2)),
+    ]:
+        devices = eight_devices[: mesh_cfg.data_parallel * mesh_cfg.model_parallel]
+        exp = make_exp(wm, cider_tune=True).replace(mesh=mesh_cfg)
+        trainer = Trainer(exp, wm, mesh=build_mesh(mesh_cfg, devices))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state2, loss, _ = trainer.scst_batch(
+            state, batch, jax.random.PRNGKey(5), num_steps=9
+        )
+        results[name] = (float(loss), np.asarray(state2.params.decoder.fc.weight))
+        # the fused rollout's encoded features must actually shard over 'data'
+        bs = batch_sharding(trainer.mesh, mesh_cfg)
+        img = jax.device_put(jnp.asarray(batch.images), bs)
+        ro = trainer._jit("scst_encode_rollout", trainer.scst_encode_rollout,
+                          static_argnums=(2,))
+        raw, *_ = ro(state, img, 9, jax.random.PRNGKey(5))
+        if mesh_cfg.data_parallel > 1:
+            assert raw.sharding.spec[0] == "data", raw.sharding
+
+    for name in ("dp8", "dp4mp2"):
+        np.testing.assert_allclose(results[name][0], results["single"][0],
+                                   rtol=1e-5, err_msg=f"{name} loss mismatch")
+        np.testing.assert_allclose(results[name][1], results["single"][1],
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=f"{name} params mismatch")
+
+
 def test_scst_step_runs(toy, eight_devices):
     train_ds, _, wm = toy
     exp = make_exp(wm, cider_tune=True)
