@@ -124,6 +124,54 @@ def test_scst_sharded_matches_single_device(toy, eight_devices):
                                    err_msg=f"{name} params mismatch")
 
 
+def test_lrp_modes_sharded_match_single_device(toy, eight_devices):
+    """The LRP-weighted modes (lrp_tune step, lrp_cider batch) also split
+    rows over the mesh data axis and match single-device numerics —
+    completing the 4-mode x mesh matrix (XE and SCST pinned above)."""
+    train_ds, _, wm = toy
+    batch = next(train_ds.train_batches(8, shuffle=False))
+    meshes = [
+        ("single", MeshConfig(data_parallel=1, model_parallel=1)),
+        ("dp4mp2", MeshConfig(data_parallel=4, model_parallel=2)),
+    ]
+
+    for mode_kw, run in [
+        ({"lrp_tune": True}, "lrp_xe"),
+        ({"lrp_cider_tune": True}, "lrp_scst"),
+    ]:
+        results = {}
+        for name, mesh_cfg in meshes:
+            devices = eight_devices[: mesh_cfg.data_parallel
+                                    * mesh_cfg.model_parallel]
+            exp = make_exp(wm, **mode_kw).replace(mesh=mesh_cfg)
+            trainer = Trainer(exp, wm, mesh=build_mesh(mesh_cfg, devices))
+            state = trainer.init_state(jax.random.PRNGKey(0))
+            if run == "lrp_xe":
+                from lrp_imagecaptioning_tpu.parallel import (
+                    batch_sharding, replicated,
+                )
+                bs = batch_sharding(trainer.mesh, mesh_cfg)
+                step = trainer._jit(
+                    "lrp_xe", trainer.lrp_xe_step,
+                    in_shardings=(None, bs, bs, replicated(trainer.mesh)),
+                )
+                img = jax.device_put(jnp.asarray(batch.images), bs)
+                caps = jax.device_put(jnp.asarray(batch.captions), bs)
+                state2, loss, _ = step(state, img, caps, jax.random.PRNGKey(7))
+            else:
+                state2, loss, _ = trainer.lrp_scst_batch(
+                    state, batch, jax.random.PRNGKey(7), num_steps=9)
+            results[name] = (
+                float(loss), np.asarray(state2.params.decoder.fc.weight))
+
+        np.testing.assert_allclose(
+            results["dp4mp2"][0], results["single"][0], rtol=1e-5,
+            err_msg=f"{run} loss mismatch")
+        np.testing.assert_allclose(
+            results["dp4mp2"][1], results["single"][1], rtol=1e-4, atol=1e-6,
+            err_msg=f"{run} params mismatch")
+
+
 def test_scst_step_runs(toy, eight_devices):
     train_ds, _, wm = toy
     exp = make_exp(wm, cider_tune=True)
