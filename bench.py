@@ -54,6 +54,11 @@ def main():
                          "checkpoint's vocab/start/end ids)")
     ap.add_argument("--height", type=int, default=0,
                     help="input height/width override (default: preset)")
+    ap.add_argument("--s2d", default="",
+                    help="space-to-depth block-1 walk: '0' off, '1'/'phase' "
+                         "four 2x2 phase convs, 'dense' one 3x3 256-ch "
+                         "conv; '' = explainer auto-default "
+                         "(cnn_lrp.make_vgg_lrp_backward s2d_block1)")
     args = ap.parse_args()
 
     if args.dp:
@@ -133,8 +138,13 @@ def main():
         with ocp.StandardCheckpointer() as ckptr:
             params = ckptr.restore(os.path.abspath(args.params_checkpoint),
                                    params)
+    ex_kw = {}
+    if args.s2d:
+        ex_kw["cnn_s2d_block1"] = {
+            "0": False, "1": True, "phase": True, "dense": "dense",
+        }[args.s2d]
     explainer = build_explainer("lrp", cap, params, word_map,
-                                max_words=max_words)
+                                max_words=max_words, **ex_kw)
 
     def sync(out):
         # device->host transfer forces completion (block_until_ready does not

@@ -131,6 +131,107 @@ def first_winner_mask(x: jax.Array) -> jax.Array:
     return first.reshape(b, h, w, c)
 
 
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), phase-major: out[..., p*C + c] with
+    p = 2*di + dj indexing the pixel's position inside its 2x2 block."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: jax.Array) -> jax.Array:
+    """Inverse of :func:`space_to_depth`."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+# For output phase d (row or column), the three taps u of a 3x3/stride-1/SAME
+# conv land at s2d block offset a (0-based index into a 2-tap kernel) and
+# input phase dii, given the padding below:  out[i] reads blocks {i-1, i} for
+# d=0 (pad (1,0)) and {i, i+1} for d=1 (pad (0,1)).  Derivation: input row of
+# tap u at output row 2i+d is 2i+d+u-1 = 2(block)+phase.
+_S2D_ROWMAP = {
+    0: ((0, 1, 0), (1, 0, 1), (1, 1, 2)),  # (kernel_idx, in_phase, tap_u)
+    1: ((0, 0, 0), (0, 1, 1), (1, 0, 2)),
+}
+_S2D_PAD = {0: (1, 0), 1: (0, 1)}
+
+
+def s2d_phase_kernels(w: jax.Array):
+    """Decompose a 3x3/stride-1/SAME conv's HWIO weight (3, 3, Cin, Cout)
+    into four 2x2 kernels over the space-to-depth layout — one per output
+    phase po = 2*dio + djo — such that
+
+        concat_po conv(x_s2d, V_po, pad_po)  ==  s2d(conv(x, w, SAME))
+
+    (phase-major channel layout on both sides).  Each V_po is
+    (2, 2, 4*Cin, Cout) with 9 of its 16 (tap, in-phase) slots holding the
+    original taps and the rest zero.  This moves the MXU-hostile
+    224^2 x 64ch shape class onto the 112^2 x 256ch class (see
+    ``make_vgg_lrp_backward``'s ``s2d_block1``)."""
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3), (kh, kw)
+    kernels = []
+    for dio in range(2):
+        for djo in range(2):
+            v = jnp.zeros((2, 2, 4 * cin, cout), w.dtype)
+            for a, dii, u in _S2D_ROWMAP[dio]:
+                for b, djj, vv in _S2D_ROWMAP[djo]:
+                    p = 2 * dii + djj
+                    v = v.at[a, b, p * cin:(p + 1) * cin, :].set(w[u, vv])
+            kernels.append((v, _S2D_PAD[dio], _S2D_PAD[djo]))
+    return kernels
+
+
+def s2d_dense_kernel(w: jax.Array) -> jax.Array:
+    """Single-conv variant of :func:`s2d_phase_kernels`: one 3x3 HWIO kernel
+    (3, 3, 4*Cin, 4*Cout) over the s2d layout with plain SAME padding such
+    that ``conv(s2d(x), V, SAME) == s2d(conv(x, w, SAME))``.
+
+    Each original tap appears once per output phase (36 of the 144
+    (tap, in-phase, out-phase) channel-block slots are nonzero -> 4x the
+    FLOPs of the original conv), traded for a single symmetric conv with no
+    phase concat / minor-dim slicing: the data-grad is then ONE 3x3
+    conv-transpose at 112^2 x 256ch — the shape class the walk's other
+    convs run at 42-89% MXU roofline."""
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3), (kh, kw)
+    # output phase d + tap u -> (SAME-padding kernel index P, input phase)
+    def _pos(d, u):
+        m = d + u - 1
+        return (m - (m % 2)) // 2 + 1, m % 2
+
+    v = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+    for dio in range(2):
+        for djo in range(2):
+            po = 2 * dio + djo
+            for u in range(3):
+                for vv in range(3):
+                    p_r, dii = _pos(dio, u)
+                    p_c, djj = _pos(djo, vv)
+                    pi = 2 * dii + djj
+                    v = v.at[p_r, p_c, pi * cin:(pi + 1) * cin,
+                             po * cout:(po + 1) * cout].set(w[u, vv])
+    return v
+
+
+def s2d_conv_forward(kernels, x_s: jax.Array) -> jax.Array:
+    """Apply the four phase kernels to an s2d map (B, h, w, 4*Cin) and
+    concatenate the phase outputs -> (B, h, w, 4*Cout), phase-major."""
+    outs = [
+        jax.lax.conv_general_dilated(
+            x_s, v, window_strides=(1, 1), padding=(rpad, cpad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        for v, rpad, cpad in kernels
+    ]
+    return jnp.concatenate(outs, axis=-1)
+
+
 _TAPS3 = tuple((dy, dx) for dy in range(3) for dx in range(3))
 
 
@@ -208,6 +309,7 @@ def make_vgg_lrp_backward(
     stash_dtype=None,
     fuse_stash: bool | None = None,
     conv1_tap: bool | None = None,
+    s2d_block1: bool | None = None,
 ):
     """Amortized per-caption CNN LRP: run the forward (and each rule's
     clamped-weight forward) ONCE, capture the per-layer vjp closures — which
@@ -264,6 +366,8 @@ def make_vgg_lrp_backward(
     stash_dtype = r_dtype if stash_dtype is None else stash_dtype
     if conv1_tap is None:
         conv1_tap = False
+    if s2d_block1 is None:
+        s2d_block1 = False
     # Fused-map path (opt-in, measured SLOWER): adjacent per-caption
     # multipliers in the walk — x_in of conv k and zinv of the conv visited
     # next, or a pool winner and the zinv below it — multiply the same
@@ -363,6 +467,85 @@ def make_vgg_lrp_backward(
                 f32_records.append(("maxpool", x, zinv, vjp))
                 x = maxpool2x2(x)  # preserves non-negativity
 
+    # Space-to-depth reformulation of the block-1 bottom stage (pool1 winner
+    # scatter + conv1_2 alpha-beta backward).  Rationale: the conv1_2
+    # data-grad at 224^2 x 64ch runs at ~8% of the MXU roofline and ~20% of
+    # the HBM roofline (output/roofline_cnn_walk.json) — neither bound —
+    # while every 112^2 x >=128ch conv in the walk achieves 42-89% MXU; the
+    # 224^2 x 64ch SHAPE CLASS is the poison (64 channels fill half a lane
+    # register, and both XLA and a hand-written Mosaic kernel tie at ~3.2-3.4
+    # ms/img there).  The fix is structural: walk the segment in the s2d
+    # layout, where the pool backward becomes a phase-broadcast elementwise
+    # multiply and the conv1_2 data-grad becomes four 2x2 conv-transposes
+    # whose OUTPUT is 256 channels at 112^2 (full lanes; contraction dim
+    # 4 taps x 64).  FLOPs rise 16/9x (the phase kernels carry 9 taps in 16
+    # slots), traded for the efficient shape class.  Numerically the same
+    # chain up to float reassociation: the s2d forward is pinned equal to
+    # s2d(conv(w+, .)) and the walk uses its jax.vjp (tests/test_cnn_s2d.py).
+    #
+    # MEASURED VERDICT (v5e in situ, bench.py --s2d {0,phase,dense},
+    # iters=20): plain 129.2 img/s, phase 97.7, dense 111.4 — BOTH s2d forms
+    # LOSE, so the default stays OFF.  Consistent with the conv1_tap lesson:
+    # the production stage is HBM-bound (~0.45 ms/img with the elementwise
+    # chain operand-fused into the conv_transposes), so trading FLOP
+    # efficiency for MXU-friendly shapes only adds traffic — the phase form
+    # pays cotangent concat/slice relayouts at 64-ch minor offsets, the dense
+    # form pays 4x FLOPs plus double-width stash maps.  Kept opt-in for
+    # reproduction and for non-HBM-bound deployments of the same shape class.
+    if (s2d_block1 and not fuse_stash and pool_mode == "fast"
+            and tuple(l.kind for l in spec[:5]) == _BLOCK1_KINDS
+            and records[2][0] == "conv"
+            and image.shape[1] % 2 == 0 and image.shape[2] % 2 == 0):
+        dense = s2d_block1 == "dense"
+
+        def _s2d_fwd_pos(w):
+            """s2d-equivalent forward of conv(w, ., SAME) — 'dense' = one
+            3x3 256-ch conv (no phase concat/slices, 4x FLOPs); 'phase' =
+            four 2x2 convs (9/16-dense kernels, minor-dim slicing in the
+            grad).  Measured on v5e in situ: phase 97.7 img/s vs plain
+            129.2 — the phase form LOSES (cotangent concat/slice relayouts
+            at 64-ch offsets)."""
+            if dense:
+                vd = ConvParams(s2d_dense_kernel(w), None)
+                return lambda xs: conv2d(vd, xs)
+            kernels = s2d_phase_kernels(w)
+            return lambda xs: s2d_conv_forward(kernels, xs)
+
+        w2 = params.convs[spec[2].param_idx].weight
+        fwd2 = _s2d_fwd_pos(jnp.maximum(w2, 0.0).astype(jnp.float32))
+        _, a1_f32, z2inv_f32, _ = f32_records[2]
+        a1s = space_to_depth(a1_f32)
+        _, vjp_s2d = jax.vjp(fwd2, a1s)
+        # conv1_1 joins the s2d segment too (unless the tap-GEMM variant
+        # claimed it): the whole pixels->pool1 walk then runs in the s2d
+        # layout and the per-word depth_to_space happens on the tiny
+        # 3-channel output map instead of the 64-channel intermediate.
+        if records[0][0] == "conv":
+            records[2] = ("conv_s2d", a1s.astype(stash_dtype),
+                          space_to_depth(z2inv_f32).astype(stash_dtype),
+                          vjp_s2d)
+            w1 = params.convs[spec[0].param_idx].weight
+            f1_pos = _s2d_fwd_pos(jnp.maximum(w1, 0.0).astype(jnp.float32))
+            f1_neg = _s2d_fwd_pos(jnp.minimum(w1, 0.0).astype(jnp.float32))
+
+            def clamped_fwd(xs):
+                return (f1_pos(jnp.maximum(xs, 0.0))
+                        + f1_neg(jnp.minimum(xs, 0.0)))
+
+            _, img_f32, z1inv_f32, _ = f32_records[0]
+            img_s = space_to_depth(img_f32)
+            _, vjp1_s2d = jax.vjp(clamped_fwd, img_s)
+            records[0] = ("conv_s2d_out", img_s.astype(stash_dtype),
+                          space_to_depth(z1inv_f32).astype(stash_dtype),
+                          vjp1_s2d)
+        else:
+            # conv1_tap holds conv1_1: leave the s2d segment after conv1_2
+            records[2] = ("conv_s2d_out", a1s.astype(stash_dtype),
+                          space_to_depth(z2inv_f32).astype(stash_dtype),
+                          vjp_s2d)
+        records[4] = ("maxpool_fast_s2d", space_to_depth(records[4][1]),
+                      None, None)
+
     fused_ops = None
     if fuse_stash and pool_mode == "fast":
         fused_ops = []  # ("mul", map) | ("vjp", fn) | ("up", None)
@@ -405,6 +588,20 @@ def make_vgg_lrp_backward(
             if kind == "maxpool_fast":
                 r = jnp.where(x_in, _upsample2x(r.astype(jnp.float32)),
                               0.0).astype(r_dtype)
+                continue
+            if kind == "maxpool_fast_s2d":
+                # s2d layout: the 2x upsample is a broadcast of the pool
+                # output over the 4 phase groups (same map, phase-major)
+                r = jnp.where(
+                    x_in, jnp.tile(r.astype(jnp.float32), (1, 1, 1, 4)), 0.0
+                ).astype(r_dtype)
+                continue
+            if kind in ("conv_s2d", "conv_s2d_out"):
+                (grad,) = vjp(r.astype(jnp.float32) * z.astype(jnp.float32))
+                r = (x_in.astype(jnp.float32) * grad)
+                if kind == "conv_s2d_out":  # leave the s2d segment
+                    r = depth_to_space(r)
+                r = r.astype(r_dtype)
                 continue
             if kind == "conv_tap":
                 # vjp slot holds the packed tap matrix; z the reciprocal

@@ -63,6 +63,7 @@ class GridTDExplainerBase:
         pallas_block1: bool | None = None,
         block1_dot_mode: str = "bf16",
         cnn_r_dtype: str | None = None,
+        cnn_s2d_block1: bool | None = None,
     ):
         self.cap = captioner
         self.params = params
@@ -91,6 +92,14 @@ class GridTDExplainerBase:
         # measured max-rel ~7e-3 vs the CPU f32 walk EITHER way), float32
         # elsewhere so the CPU parity suite is exact.
         self.cnn_r_dtype = cnn_r_dtype
+        # space-to-depth block-1 walk (cnn_lrp.make_vgg_lrp_backward's
+        # s2d_block1): moves the MXU-hostile 224^2 x 64ch conv1_2 backward
+        # onto the efficient 112^2 x 256ch shape class.  None = auto: OFF —
+        # measured in situ on v5e (bench.py --s2d): plain 129.2 img/s,
+        # phase 97.7, dense 111.4 — both s2d forms LOSE (the stage is
+        # HBM-bound; see the verdict note in make_vgg_lrp_backward).
+        # Same walk up to float reassociation (tests/test_cnn_s2d.py).
+        self.cnn_s2d_block1 = cnn_s2d_block1
         # TPU matmul precision for the whole explanation program.  The default
         # (1-pass bf16 multiply) costs ~4e-3 absolute drift on the normalized
         # word relevances vs CPU f32; BF16_BF16_F32_X3 halves that at
@@ -179,7 +188,14 @@ class GridTDExplainerBase:
                 params.encoder, image,
                 r_dtype=self._resolved_r_dtype())[0]
         return make_vgg_lrp_backward(
-            params.encoder, image, r_dtype=self._resolved_r_dtype())[0]
+            params.encoder, image, r_dtype=self._resolved_r_dtype(),
+            s2d_block1=self._resolved_s2d_block1())[0]
+
+    def _resolved_s2d_block1(self):
+        """False | True ('phase') | 'dense' — see make_vgg_lrp_backward."""
+        if self.cnn_s2d_block1 is not None:
+            return self.cnn_s2d_block1
+        return False  # auto-default: measured slower in situ (see ctor note)
 
     def _guided_backward_factory(self, params, image):
         if self.cap.cfg.encoder.startswith("resnet"):
