@@ -54,6 +54,15 @@ def main():
                          "checkpoint's vocab/start/end ids)")
     ap.add_argument("--height", type=int, default=0,
                     help="input height/width override (default: preset)")
+    ap.add_argument("--wdtype", default="",
+                    help="storage dtype of the walk's clamped conv-transpose "
+                         "kernels: 'float32' forces the jax.vjp weight path "
+                         "(pre-round-3 behavior) for A/B; '' = explainer "
+                         "auto-default (bf16 on TPU)")
+    ap.add_argument("--deep-split", action="store_true",
+                    help="two-level word chunking: blocks 5-4 walk ALL "
+                         "words in one pass, shallow blocks keep "
+                         "cnn_word_chunk (explainer cnn_deep_all_words)")
     ap.add_argument("--s2d", default="",
                     help="space-to-depth block-1 walk: '0' off, '1'/'phase' "
                          "four 2x2 phase convs, 'dense' one 3x3 256-ch "
@@ -139,6 +148,10 @@ def main():
             params = ckptr.restore(os.path.abspath(args.params_checkpoint),
                                    params)
     ex_kw = {}
+    if args.deep_split:
+        ex_kw["cnn_deep_all_words"] = True
+    if args.wdtype:
+        ex_kw["cnn_w_dtype"] = args.wdtype
     if args.s2d:
         ex_kw["cnn_s2d_block1"] = {
             "0": False, "1": True, "phase": True, "dense": "dense",

@@ -34,6 +34,7 @@ def make_vgg_guided_backward(
     params: VGGParams, image: jax.Array, *,
     spec: tuple[VGGLayer, ...] = VGG16_SPEC,
     g_dtype=jnp.float32,
+    w_dtype=None,
 ):
     """Guided-backprop backward closure sharing one forward stash (same
     amortization as make_vgg_lrp_backward).
@@ -43,13 +44,28 @@ def make_vgg_guided_backward(
     SelectAndScatter).  ``first_winner_mask`` routes window ties to the
     first element in scan order — exactly torch's ``max_pool2d`` backward
     (positive ties are NOT measure-zero on real images: constant regions
-    propagate identical activations)."""
+    propagate identical activations).
+
+    ``w_dtype`` (default: follows ``g_dtype``) is the STORAGE dtype of the
+    conv-transpose kernels, the same weight-read-traffic lever as
+    cnn_lrp.make_vgg_lrp_backward's ``w_dtype`` (blocks 4-5 of the walk are
+    weight-read-bound; this backend rounds conv operands to bf16 anyway)."""
+    from .cnn_lrp import _conv_transpose_same, _flip_io
+
+    w_dtype = g_dtype if w_dtype is None else w_dtype
+    compact_w = jnp.dtype(w_dtype) != jnp.dtype(jnp.float32)
     x = image.astype(jnp.float32)
     records = []
     for layer in spec:
         if layer.kind == "conv":
             p = params.convs[layer.param_idx]
-            _, vjp = jax.vjp(lambda xx, p=p: conv2d(p, xx), x)
+            if compact_w and p.weight.shape[:2] == (3, 3):
+                wt = _flip_io(p.weight.astype(jnp.float32)).astype(w_dtype)
+
+                def vjp(s, wt=wt):
+                    return (_conv_transpose_same(s, wt),)
+            else:
+                _, vjp = jax.vjp(lambda xx, p=p: conv2d(p, xx), x)
             records.append(("conv", None, vjp))
             x = conv2d(p, x)
         elif layer.kind == "relu":

@@ -100,6 +100,32 @@ def vgg_lrp(
     return r
 
 
+def _flip_io(w: jax.Array) -> jax.Array:
+    """HWIO kernel of the data-grad of a stride-1 SAME odd conv: spatial
+    flip + in/out channel swap (the conv-transpose kernel)."""
+    return w[::-1, ::-1].swapaxes(2, 3)
+
+
+def _conv_transpose_same(g: jax.Array, wt: jax.Array) -> jax.Array:
+    """Data-grad of a 3x3/stride-1/SAME conv as ONE explicit conv with the
+    prepared kernel from :func:`_flip_io`, run in the kernel's STORAGE dtype
+    with float32 accumulation (``preferred_element_type``).
+
+    Exists so the walk can store the clamped conv weights in bfloat16:
+    ``jax.vjp``'s transpose rule rejects mixed-dtype conv operands, and on
+    this backend the f32-weight conv rounds its operands to bf16 internally
+    anyway (proved bit-exact by the block-1 Pallas kernel), so bf16 STORAGE
+    of the w+/w- kernels halves the weight-read traffic that dominates
+    blocks 4-5 of the walk (roofline artifact: 23.6 / 28.3 MB of weight
+    bytes PER WORD vs 11.6 / 3.8 MB of maps) at the rounding the hardware
+    already injects."""
+    return jax.lax.conv_general_dilated(
+        g.astype(wt.dtype), wt, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _upsample2x(z: jax.Array) -> jax.Array:
     """Nearest-neighbor 2x spatial upsample of an NHWC map (inverse of the
     2x2/stride-2 pool grid)."""
@@ -307,6 +333,7 @@ def make_vgg_lrp_backward(
     pool_mode: str = "fast",
     r_dtype=jnp.float32,
     stash_dtype=None,
+    w_dtype=None,
     fuse_stash: bool | None = None,
     conv1_tap: bool | None = None,
     s2d_block1: bool | None = None,
@@ -347,6 +374,18 @@ def make_vgg_lrp_backward(
     CPU/parity paths).  Winner masks are always stored as bool (1 byte,
     exact).
 
+    ``w_dtype`` is the STORAGE dtype of the clamped conv-transpose kernels
+    read by every per-word backward (defaults to ``stash_dtype``).  The
+    roofline artifact puts blocks 4-5 at 23.6 / 28.3 MB of weight bytes
+    PER WORD (vs 11.6 / 3.8 MB of maps) — the dominant traffic of the deep
+    walk — and this backend rounds conv operands to bf16 internally
+    regardless (measured bit-identical across precision settings), so
+    bfloat16 weight storage halves that traffic at the rounding the
+    hardware already injects.  When active (3x3/stride-1 convs only — all
+    of VGG), the per-layer backward is an explicit
+    :func:`_conv_transpose_same` instead of the ``jax.vjp`` closure
+    (``vjp`` rejects mixed-dtype convs); the two are the same linear map.
+
     ``conv1_tap`` reformulates the data-grad of tiny-input-channel convs
     (conv1_1's 64->3 clamped backward) as one tap-unrolled GEMM instead of
     two transposed convs — see ``_tap_conv_transpose``.  Default OFF: a
@@ -364,6 +403,8 @@ def make_vgg_lrp_backward(
     precision nor an optimization barrier changes it (both tried).
     """
     stash_dtype = r_dtype if stash_dtype is None else stash_dtype
+    w_dtype = stash_dtype if w_dtype is None else w_dtype
+    compact_w = jnp.dtype(w_dtype) != jnp.dtype(jnp.float32)
     if conv1_tap is None:
         conv1_tap = False
     if s2d_block1 is None:
@@ -432,13 +473,35 @@ def make_vgg_lrp_backward(
                     )
 
             z, vjp = jax.vjp(pos_forward, x)
+            if compact_w and (kh, kw) == (3, 3):
+                # explicit conv-transpose with compact-dtype kernels (see
+                # the w_dtype docs above); same linear map as `vjp`, with
+                # the weight-read traffic halved for the per-word backward.
+                wtp = _flip_io(jnp.maximum(p.weight, 0.0)
+                               .astype(jnp.float32)).astype(w_dtype)
+                if nonneg:
+                    def bwd(s, wtp=wtp):
+                        return (_conv_transpose_same(s, wtp),)
+                else:
+                    # clamped-input forward: d/dx routes the w+ grad through
+                    # x>0 and the w- grad through x<0 (the vjp of max/min)
+                    wtn = _flip_io(jnp.minimum(p.weight, 0.0)
+                                   .astype(jnp.float32)).astype(w_dtype)
+                    sp, sn = x > 0, x < 0
+
+                    def bwd(s, wtp=wtp, wtn=wtn, sp=sp, sn=sn):
+                        return (jnp.where(sp, _conv_transpose_same(s, wtp), 0.0)
+                                + jnp.where(sn, _conv_transpose_same(s, wtn),
+                                            0.0),)
+            else:
+                bwd = vjp
             # stash the stabilized reciprocal instead of z: the per-word
             # backward then multiplies instead of dividing (216M VPU divides
             # per 16-word image otherwise); r * (1/z~) == safe_divide(r, z)
             # to 1 ulp
             zinv = 1.0 / (z + Z_EPSILON * (z == 0))
             records.append(("conv", x.astype(stash_dtype),
-                            zinv.astype(stash_dtype), vjp))
+                            zinv.astype(stash_dtype), bwd))
             f32_records.append(("conv", x, zinv, vjp))
             x = conv2d(p, x)
             nonneg = False
@@ -566,12 +629,14 @@ def make_vgg_lrp_backward(
         if pending is not None:
             fused_ops.append(("mul", pending.astype(stash_dtype)))
 
-    def backward(r_feature: jax.Array, *, down_to: int = 0) -> jax.Array:
-        """Walk relevance from the feature grid down to record index
-        ``down_to`` (0 = all the way to input pixels; record index == spec
-        index — used by the block-1 kernel split and the depth diagnostics
-        in tools/bench_cnn_stages.py)."""
-        if down_to == 0 and fused_ops is not None:
+    def backward(r_feature: jax.Array, *, down_to: int = 0,
+                 up_from: int | None = None) -> jax.Array:
+        """Walk relevance from record index ``up_from`` (None = the feature
+        grid) down to record index ``down_to`` (0 = all the way to input
+        pixels; record index == spec index — used by the block-1 kernel
+        split, the depth diagnostics in tools/bench_cnn_stages.py, and the
+        two-level word chunking in the explainer)."""
+        if down_to == 0 and up_from is None and fused_ops is not None:
             r = r_feature.astype(jnp.float32)
             for kind, arr in fused_ops:
                 if kind == "mul":
@@ -582,7 +647,7 @@ def make_vgg_lrp_backward(
                     (r,) = arr(r.astype(jnp.float32))
             return r.astype(jnp.float32)
         r = r_feature.astype(jnp.float32)
-        for kind, x_in, z, vjp in reversed(records[down_to:]):
+        for kind, x_in, z, vjp in reversed(records[down_to:up_from]):
             if kind == "relu":
                 continue
             if kind == "maxpool_fast":

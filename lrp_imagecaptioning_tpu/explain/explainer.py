@@ -63,7 +63,9 @@ class GridTDExplainerBase:
         pallas_block1: bool | None = None,
         block1_dot_mode: str = "bf16",
         cnn_r_dtype: str | None = None,
+        cnn_w_dtype: str | None = None,
         cnn_s2d_block1: bool | None = None,
+        cnn_deep_all_words: bool | None = None,
     ):
         self.cap = captioner
         self.params = params
@@ -92,6 +94,12 @@ class GridTDExplainerBase:
         # measured max-rel ~7e-3 vs the CPU f32 walk EITHER way), float32
         # elsewhere so the CPU parity suite is exact.
         self.cnn_r_dtype = cnn_r_dtype
+        # storage dtype for the clamped conv-transpose kernels of the LRP
+        # walk (cnn_lrp.make_vgg_lrp_backward's w_dtype).  None = auto:
+        # follows the stash dtype (bf16 on TPU — halves the weight-read
+        # traffic dominating blocks 4-5; f32 on CPU parity paths).  Pass
+        # "float32" to force the jax.vjp weight path for A/B.
+        self.cnn_w_dtype = cnn_w_dtype
         # space-to-depth block-1 walk (cnn_lrp.make_vgg_lrp_backward's
         # s2d_block1): moves the MXU-hostile 224^2 x 64ch conv1_2 backward
         # onto the efficient 112^2 x 256ch shape class.  None = auto: OFF —
@@ -100,6 +108,13 @@ class GridTDExplainerBase:
         # HBM-bound; see the verdict note in make_vgg_lrp_backward).
         # Same walk up to float reassociation (tests/test_cnn_s2d.py).
         self.cnn_s2d_block1 = cnn_s2d_block1
+        # two-level word chunking for the LRP walk (VGG only): walk blocks
+        # 5-4 (maps <= 28^2) with ALL max_words lanes in ONE pass, then
+        # chunk the big shallow maps at cnn_word_chunk as usual.  The
+        # operating-point sweep only ever varied a UNIFORM chunk; this
+        # probes whether the deep stages' many tiny ops benefit from wider
+        # batching.  None = auto OFF.
+        self.cnn_deep_all_words = bool(cnn_deep_all_words)
         # TPU matmul precision for the whole explanation program.  The default
         # (1-pass bf16 multiply) costs ~4e-3 absolute drift on the normalized
         # word relevances vs CPU f32; BF16_BF16_F32_X3 halves that at
@@ -186,10 +201,21 @@ class GridTDExplainerBase:
 
             return make_resnet_lrp_backward(
                 params.encoder, image,
-                r_dtype=self._resolved_r_dtype())[0]
+                r_dtype=self._resolved_r_dtype(),
+                w_dtype=self._resolved_w_dtype())[0]
         return make_vgg_lrp_backward(
             params.encoder, image, r_dtype=self._resolved_r_dtype(),
+            w_dtype=self._resolved_w_dtype(),
             s2d_block1=self._resolved_s2d_block1())[0]
+
+    def _resolved_w_dtype(self):
+        """Storage dtype of the walk's conv-transpose kernels: explicit
+        ``cnn_w_dtype`` if given, else the backend auto (bf16 on TPU — the
+        weight-read traffic dominates the deep walk; f32 elsewhere so the
+        CPU parity suite stays exact)."""
+        if self.cnn_w_dtype is not None:
+            return jnp.dtype(self.cnn_w_dtype)
+        return self._resolved_r_dtype()
 
     def _resolved_s2d_block1(self):
         """False | True ('phase') | 'dense' — see make_vgg_lrp_backward."""
@@ -203,7 +229,8 @@ class GridTDExplainerBase:
 
             return make_resnet_guided_backward(params.encoder, image)[0]
         return make_vgg_guided_backward(
-            params.encoder, image, g_dtype=self._resolved_r_dtype())
+            params.encoder, image, g_dtype=self._resolved_r_dtype(),
+            w_dtype=self._resolved_w_dtype())
 
     def _plain_gradient(self, params, image, seed):
         if self.cap.cfg.encoder.startswith("resnet"):
@@ -235,6 +262,22 @@ class GridTDExplainerBase:
             return out.reshape(T, *out.shape[2:])
         return jax.vmap(fn)(seeds)
 
+    def _map_words_lrp(self, backward, seeds):
+        """LRP-walk word mapping with the optional two-level split
+        (``cnn_deep_all_words``): blocks 5-4 for ALL words in one vmap,
+        then the shallow blocks through the normal chunked path."""
+        if (self.cnn_deep_all_words and not self.cap.cfg.is_bu
+                and self.cap.cfg.encoder == "vgg16"):
+            from ..models.encoders import VGG16_SPEC
+
+            pools = [i for i, l in enumerate(VGG16_SPEC)
+                     if l.kind == "maxpool"]
+            split = pools[2] + 1  # first record of block 4
+            deep = jax.vmap(
+                lambda r: backward(r[None], down_to=split)[0])(seeds)
+            return self._map_words(
+                lambda r: backward(r[None], up_from=split)[0], deep)
+        return self._map_words(lambda r: backward(r[None])[0], seeds)
 
     def explain_batch(self, images: jax.Array):
         """Raw batched core output (tokens, lengths, rel_imgs, r_words,
@@ -541,8 +584,7 @@ class GridTDLrpExplainer(GridTDExplainerBase):
 
     def _cnn_stage(self, params, image, word_exp):
         backward = self._lrp_backward_factory(params, image)
-        return self._map_words(lambda r: backward(r[None])[0],
-                               self._grid_seeds(word_exp))
+        return self._map_words_lrp(backward, self._grid_seeds(word_exp))
 
 
 class AOALrpExplainer(GridTDExplainerBase):
@@ -584,8 +626,7 @@ class AOALrpExplainer(GridTDExplainerBase):
 
     def _cnn_stage(self, params, image, word_exp):
         backward = self._lrp_backward_factory(params, image)
-        return self._map_words(lambda r: backward(r[None])[0],
-                               self._grid_seeds(word_exp))
+        return self._map_words_lrp(backward, self._grid_seeds(word_exp))
 
 
 class AOAAllHeadsLrpExplainer(AOALrpExplainer):
@@ -769,8 +810,7 @@ class AdaptiveLrpExplainer(GridTDExplainerBase):
 
     def _cnn_stage(self, params, image, word_exp):
         backward = self._lrp_backward_factory(params, image)
-        return self._map_words(lambda r: backward(r[None])[0],
-                               self._grid_seeds(word_exp))
+        return self._map_words_lrp(backward, self._grid_seeds(word_exp))
 
 
 class AdaptiveGradientExplainer(AdaptiveLrpExplainer):

@@ -33,16 +33,39 @@ from ..models.resnet import (
 from .rules import EPSILON, Z_EPSILON, safe_divide
 
 
-def _conv_ab_vjp(p: ConvBN, x: jax.Array, *, nonneg: bool = False):
+def _conv_ab_vjp(p: ConvBN, x: jax.Array, *, nonneg: bool = False,
+                 w_dtype=None):
     """(z+, linear-vjp) for the alpha-beta rule of a strided, bias-free conv.
 
     With ``nonneg`` (input provably post-relu) the clamped forward collapses
     to one w+ conv — exact, since min(x, 0) == 0 and R = x * grad vanishes at
-    the only points where the vjp could differ (x == 0)."""
+    the only points where the vjp could differ (x == 0).
+
+    ``w_dtype`` (nonneg convs only) is the STORAGE dtype of the kernel the
+    per-word backward reads: a ResNet-50's clamped weights are ~94 MB f32
+    re-read per explained word, the dominant per-word traffic of this walk
+    (maps beyond the stem are <=56^2 — the measured reason bf16 STASH lost
+    here while bf16 weights are a different axis).  The backward is built
+    with ``jax.linear_transpose`` over an all-``w_dtype`` conv (f32 MXU
+    accumulation; this backend rounds conv operands to bf16 regardless)."""
     w_pos = ConvBN(jnp.maximum(p.weight, 0.0), p.bn_scale, p.bn_shift, p.stride)
     if nonneg:
         def pos_forward(xx):
             return conv(w_pos, xx)
+
+        if w_dtype is not None and jnp.dtype(w_dtype) != jnp.dtype(x.dtype):
+            z = pos_forward(x)
+            wd = jnp.dtype(w_dtype)
+            w16 = ConvBN(w_pos.weight.astype(wd), p.bn_scale, p.bn_shift,
+                         p.stride)
+            t = jax.linear_transpose(
+                lambda xx: conv(w16, xx), jax.ShapeDtypeStruct(x.shape, wd))
+
+            def vjp(s, t=t, wd=wd, out=x.dtype):
+                (g,) = t(s.astype(wd))
+                return (g.astype(out),)
+
+            return z, vjp
     else:
         w_neg = ConvBN(jnp.minimum(p.weight, 0.0), p.bn_scale, p.bn_shift,
                        p.stride)
@@ -71,7 +94,8 @@ def _add_split(x1: jax.Array, x2: jax.Array, r: jax.Array):
 
 
 def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
-                             *, r_dtype=None, stash_dtype=None):
+                             *, r_dtype=None, stash_dtype=None,
+                             w_dtype=None):
     """Forward-stash once, return (backward(r_feature) -> r_image, features).
 
     Relevance math runs in the image's floating dtype (float32 normally;
@@ -87,7 +111,12 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
     measured on v5e, bf16 stash is ~3% SLOWER for this walk (91.9 vs 89.3
     img/s walk-only A/B): beyond the stem the maps are <=56² so the walk is
     not HBM-bound and the cast overhead wins; the opposite of the VGG walk,
-    where bf16 stash bought +21% end to end."""
+    where bf16 stash bought +21% end to end.  ``w_dtype`` is the separate
+    weight-STORAGE axis (see ``_conv_ab_vjp``): the per-word backward
+    re-reads the clamped kernels (~94 MB f32 for ResNet-50) every word —
+    small maps made the stash cast a loss, but weights dwarf the maps
+    here.  Applied to the nonneg block convs only (the stem's clamped pair
+    is one 7x7x3 kernel — noise)."""
     dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
              else jnp.float32)
     if r_dtype is None:
@@ -123,17 +152,17 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
             rec = {"x_in": _st(x)}
             # every conv input here is post-relu (block inputs come out of a
             # relu; stem output passed through relu+maxpool) -> nonneg
-            z1, v1 = _conv_ab_vjp(p.conv1, x, nonneg=True)
+            z1, v1 = _conv_ab_vjp(p.conv1, x, nonneg=True, w_dtype=w_dtype)
             a1 = conv(p.conv1, x)
             r1 = jax.nn.relu(bn(p.conv1, a1))
-            z2, v2 = _conv_ab_vjp(p.conv2, r1, nonneg=True)
+            z2, v2 = _conv_ab_vjp(p.conv2, r1, nonneg=True, w_dtype=w_dtype)
             a2 = conv(p.conv2, r1)
             r2 = jax.nn.relu(bn(p.conv2, a2))
-            z3, v3 = _conv_ab_vjp(p.conv3, r2, nonneg=True)
+            z3, v3 = _conv_ab_vjp(p.conv3, r2, nonneg=True, w_dtype=w_dtype)
             a3 = conv(p.conv3, r2)
             b3 = bn(p.conv3, a3)
             if p.downsample is not None:
-                zd, vd = _conv_ab_vjp(p.downsample, x, nonneg=True)
+                zd, vd = _conv_ab_vjp(p.downsample, x, nonneg=True, w_dtype=w_dtype)
                 ad = conv(p.downsample, x)
                 idn = bn(p.downsample, ad)
                 # fold the BN-abs factor with the stabilized reciprocal into

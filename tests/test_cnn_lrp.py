@@ -275,6 +275,46 @@ def test_r_dtype_bf16_storage_close_to_f32():
     assert 0 < rel < 3e-2, rel  # bf16 rounding scale, and not exact
 
 
+def test_w_dtype_explicit_transpose_is_exact_at_full_precision():
+    """The compact-weight path swaps the jax.vjp closure for an explicit
+    conv-transpose (flip + I/O swap); at full precision the two must be the
+    SAME linear map bit-for-bit (the dtype cast is the only difference the
+    option introduces)."""
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import make_vgg_lrp_backward
+    from lrp_imagecaptioning_tpu.models.encoders import init_vgg16
+
+    params = init_vgg16(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    seed = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 2, 512))
+    via_vjp = np.asarray(make_vgg_lrp_backward(params, img)[0](seed))
+    # float64 truncates back to f32 on CPU: full-precision compact path
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        via_explicit = np.asarray(
+            make_vgg_lrp_backward(params, img, w_dtype=jnp.float64)[0](seed))
+    np.testing.assert_array_equal(via_explicit, via_vjp)
+
+
+def test_w_dtype_bf16_weight_storage_close_to_f32():
+    """bfloat16 STORAGE of the clamped conv-transpose kernels (the TPU
+    default via stash_dtype — halves the weight-read traffic dominating
+    blocks 4-5) must track the f32 walk at bf16 rounding scale."""
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import make_vgg_lrp_backward
+    from lrp_imagecaptioning_tpu.models.encoders import init_vgg16
+
+    params = init_vgg16(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    seed = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 2, 512))
+    f32_out = np.asarray(make_vgg_lrp_backward(params, img)[0](seed))
+    bf16_out = np.asarray(
+        make_vgg_lrp_backward(params, img, w_dtype=jnp.bfloat16)[0](seed))
+    scale = np.abs(f32_out).max()
+    rel = np.abs(bf16_out - f32_out).max() / scale
+    assert 0 < rel < 3e-2, rel  # bf16 rounding scale, and not exact
+
+
 def test_cnn_r_dtype_resolution_cpu_default_is_f32():
     """Off-TPU the auto default must stay float32 so the reference-parity
     suite keeps its exact guarantees."""
@@ -311,6 +351,44 @@ def test_guided_g_dtype_bf16_close_to_f32():
     scale = max(np.abs(f32_out).max(), 1e-12)
     rel = np.abs(bf_out - f32_out).max() / scale
     assert 0 <= rel < 3e-2, rel
+
+
+def test_guided_w_dtype_bf16_close_to_f32():
+    """bf16 STORAGE of the guided walk's conv-transpose kernels (the TPU
+    auto-default via the explainer's shared w_dtype resolution)."""
+    from lrp_imagecaptioning_tpu.explain.cnn_gradient import (
+        make_vgg_guided_backward,
+    )
+    from lrp_imagecaptioning_tpu.models.encoders import init_vgg16
+
+    params = init_vgg16(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    seed = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 2, 512))
+    f32_out = np.asarray(make_vgg_guided_backward(params, img)(seed))
+    bf_out = np.asarray(make_vgg_guided_backward(
+        params, img, w_dtype=jnp.bfloat16)(seed))
+    scale = max(np.abs(f32_out).max(), 1e-12)
+    rel = np.abs(bf_out - f32_out).max() / scale
+    assert 0 < rel < 3e-2, rel
+
+
+def test_backward_two_level_split_equals_full_walk():
+    """backward(r, down_to=k) then backward(., up_from=k) must compose to
+    the full walk exactly at f32 (the two-level word chunking in the
+    explainer stores only r_dtype between the halves, same as between any
+    two records)."""
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import make_vgg_lrp_backward
+    from lrp_imagecaptioning_tpu.models.encoders import VGG16_SPEC, init_vgg16
+
+    params = init_vgg16(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    seed = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 2, 512))
+    backward, _ = make_vgg_lrp_backward(params, img)
+    pools = [i for i, l in enumerate(VGG16_SPEC) if l.kind == "maxpool"]
+    split = pools[2] + 1
+    full = np.asarray(backward(seed))
+    two = np.asarray(backward(backward(seed, down_to=split), up_from=split))
+    np.testing.assert_array_equal(two, full)
 
 
 def test_conv1_tap_gemm_matches_vjp_form():

@@ -150,3 +150,22 @@ def test_resnet_r_dtype_bf16_storage_close_to_f32():
     scale = max(np.abs(f32_out).max(), 1e-12)
     rel = np.abs(bf_out - f32_out).max() / scale
     assert 0 < rel < 3e-2, rel
+
+
+def test_resnet_w_dtype_bf16_weight_storage_close_to_f32():
+    """bfloat16 STORAGE of the block convs' clamped kernels (the TPU
+    auto-default — ~94 MB of f32 weights re-read per explained word
+    otherwise) tracks the f32 walk at bf16 rounding scale."""
+    from lrp_imagecaptioning_tpu.explain.resnet_lrp import (
+        make_resnet_lrp_backward,
+    )
+
+    params = init_resnet(jax.random.PRNGKey(0), "resnet50")
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    seed = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 2, 2048))
+    f32_out = np.asarray(make_resnet_lrp_backward(params, img)[0](seed))
+    bf_out = np.asarray(make_resnet_lrp_backward(
+        params, img, w_dtype=jnp.bfloat16)[0](seed))
+    scale = max(np.abs(f32_out).max(), 1e-12)
+    rel = np.abs(bf_out - f32_out).max() / scale
+    assert 0 < rel < 3e-2, rel
