@@ -56,9 +56,11 @@ def main():
                     help="input height/width override (default: preset)")
     ap.add_argument("--wdtype", default="",
                     help="storage dtype of the walk's clamped conv-transpose "
-                         "kernels: 'float32' forces the jax.vjp weight path "
-                         "(pre-round-3 behavior) for A/B; '' = explainer "
-                         "auto-default (bf16 on TPU)")
+                         "kernels AND the conv-operand dtype of the per-word "
+                         "backward (lax convs need matching operands; "
+                         "accumulation stays f32): 'float32' forces the "
+                         "jax.vjp weight path (pre-round-3 behavior) for "
+                         "A/B; '' = explainer auto-default (bf16 on TPU)")
     ap.add_argument("--deep-split", action="store_true",
                     help="two-level word chunking: blocks 5-4 walk ALL "
                          "words in one pass, shallow blocks keep "

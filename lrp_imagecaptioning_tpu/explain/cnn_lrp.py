@@ -385,6 +385,13 @@ def make_vgg_lrp_backward(
     of VGG), the per-layer backward is an explicit
     :func:`_conv_transpose_same` instead of the ``jax.vjp`` closure
     (``vjp`` rejects mixed-dtype convs); the two are the same linear map.
+    Because lax convs require MATCHING operand dtypes, ``w_dtype`` is also
+    the operand dtype of the incoming per-word cotangent (the r*zinv
+    product is cast to it before each transposed conv) — i.e. the knob
+    rounds activations as well as weights.  A no-op on TPU (the hardware
+    rounds conv operands to bf16 either way) but a real precision choice
+    when forcing ``cnn_w_dtype=bfloat16`` on CPU.  Accumulation and the
+    output gradient map stay float32 (``preferred_element_type``).
 
     ``conv1_tap`` reformulates the data-grad of tiny-input-channel convs
     (conv1_1's 64->3 clamped backward) as one tap-unrolled GEMM instead of

@@ -115,6 +115,15 @@ class GridTDExplainerBase:
         # probes whether the deep stages' many tiny ops benefit from wider
         # batching.  None = auto OFF.
         self.cnn_deep_all_words = bool(cnn_deep_all_words)
+        if self.cnn_deep_all_words and self.pallas_block1:
+            # _upper_cnn_stage would silently drop the deep split (it maps
+            # words through the upper walk directly), so an A/B combining
+            # both flags would measure only the kernel path.  Refuse the
+            # combination instead of mismeasuring.
+            raise ValueError(
+                "cnn_deep_all_words does not compose with pallas_block1: "
+                "the fused block-1 kernel path bypasses the deep/shallow "
+                "word-chunk split. Enable at most one.")
         # TPU matmul precision for the whole explanation program.  The default
         # (1-pass bf16 multiply) costs ~4e-3 absolute drift on the normalized
         # word relevances vs CPU f32; BF16_BF16_F32_X3 halves that at

@@ -33,6 +33,40 @@ from ..models.resnet import (
 from .rules import EPSILON, Z_EPSILON, safe_divide
 
 
+def _strided_conv_transpose(weight: jax.Array, stride: int,
+                            x_shape, z_shape, *, w_dtype=None):
+    """Data-grad of a strided SAME-ish conv (pad = (k-1)//2 both sides, the
+    :func:`~..models.resnet.conv` convention) as ONE explicit
+    ``conv_general_dilated`` with a spatially-flipped IO-transposed kernel.
+
+    Exists so the kernel can be STORED in ``w_dtype`` (bfloat16) while the
+    accumulation/output stays float32 via ``preferred_element_type`` — the
+    cnn_lrp._conv_transpose_same pattern generalized to stride 2.  Both
+    ``jax.vjp`` and ``jax.linear_transpose`` reject the mixed-dtype form, and
+    transposing an all-bf16 conv would round the OUTPUT gradient map to bf16
+    at every one of ResNet-50's ~50 block convs (the round-3 advisor
+    finding); here only the operands round — which this backend does in
+    hardware regardless."""
+    wd = jnp.dtype(weight.dtype if w_dtype is None else w_dtype)
+    kh = weight.shape[0]
+    pad = (kh - 1) // 2
+    wt = jnp.transpose(weight[::-1, ::-1], (0, 1, 3, 2)).astype(wd)
+    h, w = x_shape[1], x_shape[2]
+    ho, wo = z_shape[1], z_shape[2]
+    pad_h = (kh - 1 - pad, h - stride * (ho - 1) - 1 + pad)
+    pad_w = (kh - 1 - pad, w - stride * (wo - 1) - 1 + pad)
+
+    def transpose(g: jax.Array) -> jax.Array:
+        return jax.lax.conv_general_dilated(
+            g.astype(wd), wt, (1, 1), [pad_h, pad_w],
+            lhs_dilation=(stride, stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+
+    return transpose
+
+
 def _conv_ab_vjp(p: ConvBN, x: jax.Array, *, nonneg: bool = False,
                  w_dtype=None):
     """(z+, linear-vjp) for the alpha-beta rule of a strided, bias-free conv.
@@ -45,9 +79,13 @@ def _conv_ab_vjp(p: ConvBN, x: jax.Array, *, nonneg: bool = False,
     per-word backward reads: a ResNet-50's clamped weights are ~94 MB f32
     re-read per explained word, the dominant per-word traffic of this walk
     (maps beyond the stem are <=56^2 — the measured reason bf16 STASH lost
-    here while bf16 weights are a different axis).  The backward is built
-    with ``jax.linear_transpose`` over an all-``w_dtype`` conv (f32 MXU
-    accumulation; this backend rounds conv operands to bf16 regardless)."""
+    here while bf16 weights are a different axis).  The backward is an
+    explicit transposed conv in ``w_dtype`` operands with
+    ``preferred_element_type=float32`` (see :func:`_strided_conv_transpose`)
+    so only operands — not accumulation or the output gradient map — round.
+    Note ``w_dtype`` therefore also sets the operand dtype of the incoming
+    relevance product (lax convs require matching operand dtypes); on TPU
+    the hardware rounds conv operands to bf16 either way."""
     w_pos = ConvBN(jnp.maximum(p.weight, 0.0), p.bn_scale, p.bn_shift, p.stride)
     if nonneg:
         def pos_forward(xx):
@@ -55,15 +93,11 @@ def _conv_ab_vjp(p: ConvBN, x: jax.Array, *, nonneg: bool = False,
 
         if w_dtype is not None and jnp.dtype(w_dtype) != jnp.dtype(x.dtype):
             z = pos_forward(x)
-            wd = jnp.dtype(w_dtype)
-            w16 = ConvBN(w_pos.weight.astype(wd), p.bn_scale, p.bn_shift,
-                         p.stride)
-            t = jax.linear_transpose(
-                lambda xx: conv(w16, xx), jax.ShapeDtypeStruct(x.shape, wd))
+            t = _strided_conv_transpose(
+                w_pos.weight, p.stride, x.shape, z.shape, w_dtype=w_dtype)
 
-            def vjp(s, t=t, wd=wd, out=x.dtype):
-                (g,) = t(s.astype(wd))
-                return (g.astype(out),)
+            def vjp(s, t=t, out=x.dtype):
+                return (t(s).astype(out),)
 
             return z, vjp
     else:

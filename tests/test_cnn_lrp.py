@@ -279,7 +279,15 @@ def test_w_dtype_explicit_transpose_is_exact_at_full_precision():
     """The compact-weight path swaps the jax.vjp closure for an explicit
     conv-transpose (flip + I/O swap); at full precision the two must be the
     SAME linear map bit-for-bit (the dtype cast is the only difference the
-    option introduces)."""
+    option introduces).
+
+    Relies on float64 silently truncating to float32 when x64 is disabled
+    (the suite's normal state) to exercise the compact path at full
+    precision; under JAX_ENABLE_X64 the kernels would really be f64 and the
+    bit-for-bit compare against the f32 vjp walk is meaningless — skip."""
+    if jax.config.jax_enable_x64:
+        pytest.skip("x64 enabled: float64 no longer truncates to f32, the "
+                    "bitwise compare against the f32 vjp walk does not apply")
     from lrp_imagecaptioning_tpu.explain.cnn_lrp import make_vgg_lrp_backward
     from lrp_imagecaptioning_tpu.models.encoders import init_vgg16
 

@@ -152,6 +152,40 @@ def test_resnet_r_dtype_bf16_storage_close_to_f32():
     assert 0 < rel < 3e-2, rel
 
 
+@pytest.mark.parametrize("k,stride,h", [(1, 1, 8), (3, 1, 8), (3, 2, 8),
+                                        (1, 2, 8), (3, 2, 7)])
+def test_strided_conv_transpose_matches_vjp_exactly(k, stride, h):
+    """The explicit transposed conv (bf16-storage path) is the SAME linear
+    map as jax.vjp of the plain conv — checked at f32 where no rounding can
+    hide a padding/dilation mistake.  Its output dtype is float32 even with
+    bf16 operands (preferred_element_type accumulation — the round-3 advisor
+    fix: the old all-bf16 linear_transpose rounded every block's gradient
+    map)."""
+    from lrp_imagecaptioning_tpu.explain.resnet_lrp import (
+        _strided_conv_transpose,
+    )
+    from lrp_imagecaptioning_tpu.models.resnet import ConvBN, conv
+
+    rng = np.random.default_rng(0)
+    cin, cout = 5, 7
+    w = jnp.asarray(rng.normal(size=(k, k, cin, cout)).astype(np.float32))
+    p = ConvBN(w, jnp.ones(cout), jnp.zeros(cout), stride)
+    x = jnp.asarray(rng.normal(size=(1, h, h, cin)).astype(np.float32))
+    z, vjp = jax.vjp(lambda t: conv(p, t), x)
+    g = jnp.asarray(rng.normal(size=z.shape).astype(np.float32))
+    want = np.asarray(vjp(g)[0])
+    t = _strided_conv_transpose(w, stride, x.shape, z.shape)
+    got = np.asarray(t(g))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # f32 accumulation with bf16 operand storage: output stays float32
+    t16 = _strided_conv_transpose(w, stride, x.shape, z.shape,
+                                  w_dtype=jnp.bfloat16)
+    out16 = t16(g)
+    assert out16.dtype == jnp.float32
+    scale = max(np.abs(want).max(), 1e-12)
+    assert np.abs(np.asarray(out16) - want).max() / scale < 3e-2
+
+
 def test_resnet_w_dtype_bf16_weight_storage_close_to_f32():
     """bfloat16 STORAGE of the block convs' clamped kernels (the TPU
     auto-default — ~94 MB of f32 weights re-read per explained word
