@@ -134,7 +134,25 @@ class Trainer:
         shardings = param_shardings(params, self.mesh, self.exp.mesh)
         params = jax.tree_util.tree_map(jax.device_put, params, shardings)
         opt_state = self.tx.init(params)
-        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        # Optax moments inherit the param shardings (zeros_like preserves
+        # placement), but freshly-created scalars (Adam count, injected
+        # hyperparams) land uncommitted on the default device.  Commit them
+        # replicated over the mesh so the WHOLE state carries mesh
+        # shardings — otherwise an Orbax restore (which adopts the
+        # template's committed placements) mixes single-device scalars with
+        # mesh-sharded params and the jitted steps reject the state.
+        rep = replicated(self.mesh)
+
+        def _commit(x):
+            sh = getattr(x, "sharding", None)
+            if (isinstance(sh, jax.sharding.NamedSharding)
+                    and sh.mesh == self.mesh):
+                return x
+            return jax.device_put(x, rep)
+
+        opt_state = jax.tree_util.tree_map(_commit, opt_state)
+        step = jax.device_put(jnp.zeros((), jnp.int32), rep)
+        return TrainState(params, opt_state, step)
 
     # -- learning-rate plateau decay -----------------------------------
     def decay_lr(self, state: TrainState) -> TrainState:

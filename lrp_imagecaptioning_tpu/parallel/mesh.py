@@ -56,7 +56,10 @@ def shard_mapped_data_parallel(fn, mesh: Mesh, *, data_axis: str = "data"):
 
     The returned callable device_puts its inputs (replicated / row-sharded)
     and exposes ``.lower`` for HLO inspection."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.6 stable API
+    except ImportError:  # older jax only ships the experimental path
+        from jax.experimental.shard_map import shard_map
 
     batch_sh = NamedSharding(mesh, P(data_axis))
     rep = NamedSharding(mesh, P())
