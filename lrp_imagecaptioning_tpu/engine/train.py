@@ -402,10 +402,13 @@ class Trainer:
         return greedy.tokens, sampled
 
     def lrp_scst_update(self, state: TrainState, raw, avg, images, sampled,
-                        reward):
+                        reward, captions=None):
         """Policy gradient through the LRP-weighted logprobs (re-derived by
         teacher-forcing the sampled sequence through forward_lrp).  Shared
-        frozen-CNN features like :meth:`scst_update`."""
+        frozen-CNN features like :meth:`scst_update`, including the optional
+        ``scst_ce_weight`` teacher-forced CE anchor (same collapse guard —
+        without it this mode reproduces the recorded SCST degeneration on
+        synthetic corpora, docs/QUALITY.md)."""
 
         def loss_fn(params):
             if self.tcfg.finetune_encoder:
@@ -421,7 +424,15 @@ class Trainer:
             )
             logprobs = jax.nn.log_softmax(weighted.astype(jnp.float32), -1)
             lp = jnp.take_along_axis(logprobs, sampled[..., None], -1)[..., 0]
-            return reward_criterion(lp, sampled, reward), bn_stats
+            loss = reward_criterion(lp, sampled, reward)
+            if self.tcfg.scst_ce_weight > 0.0 and captions is not None:
+                ce_logits, _, _ = self.captioner.forward(
+                    params, feats, captions,
+                    num_steps=captions.shape[1] - 1, train=True,
+                )
+                loss = loss + self.tcfg.scst_ce_weight * cross_entropy_loss(
+                    ce_logits, captions[:, 1:], self.pad_id)
+            return loss, bn_stats
 
         (loss, bn_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -453,8 +464,10 @@ class Trainer:
             bleu_reward_weight=self.tcfg.bleu_reward_weight,
         )
         upd = self._jit("lrp_scst_update", self.lrp_scst_update)
+        caps = (jax.device_put(jnp.asarray(batch.captions), bs)
+                if self.tcfg.scst_ce_weight > 0.0 else None)
         state, loss = upd(state, raw, avg, images, sampled_toks,
-                          jax.device_put(jnp.asarray(reward), bs))
+                          jax.device_put(jnp.asarray(reward), bs), caps)
         return state, loss, float(reward[:, 0].mean())
 
     # -- epoch loops ----------------------------------------------------

@@ -230,3 +230,25 @@ def test_validate_produces_scores(toy):
                                    max_cap_length=8)
     assert 0.0 <= bleu <= 1.0
     assert cider >= 0.0
+
+
+def test_lrp_scst_ce_anchor_mixes_in(toy, eight_devices):
+    """The LRP-SCST step supports the same scst_ce_weight teacher-forced CE
+    anchor as plain SCST (collapse guard, docs/QUALITY.md): with the anchor
+    on, the loss includes the CE term and the update differs from the
+    unanchored step under identical RNG."""
+    train_ds, _, wm = toy
+    batch = next(train_ds.train_batches(8, shuffle=False))
+    losses, fcs = {}, {}
+    for w in (0.0, 1.0):
+        exp = make_exp(wm, lrp_cider_tune=True, scst_ce_weight=w)
+        trainer = Trainer(exp, wm)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state2, loss, _ = trainer.lrp_scst_batch(
+            state, batch, jax.random.PRNGKey(5), num_steps=9)
+        losses[w] = float(loss)
+        fcs[w] = np.asarray(state2.params.decoder.fc.weight)
+    assert np.isfinite(losses[0.0]) and np.isfinite(losses[1.0])
+    # CE term is positive at init: anchored loss strictly larger
+    assert losses[1.0] > losses[0.0] + 0.1, losses
+    assert not np.allclose(fcs[0.0], fcs[1.0])

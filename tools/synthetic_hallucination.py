@@ -410,6 +410,19 @@ def main(argv=None):
                    help="directory to save params-only Orbax checkpoints "
                         "(warm_params + <mode>_params) — e.g. for "
                         "bench.py --params-checkpoint")
+    p.add_argument("--warm-params", default="",
+                   help="params-only Orbax dir of a previously saved warm "
+                        "XE model (a prior run's <save-params>/warm_params): "
+                        "load it instead of re-training the warm start, so "
+                        "branch invocations can share one warm model")
+    p.add_argument("--scst-ce-weight", type=float, default=1.0,
+                   help="teacher-forced CE anchor weight for the SCST "
+                        "branches (cider / lrp_cider).  The pure reference "
+                        "loss (0.0) collapses on synthetic corpora "
+                        "(docs/QUALITY.md SCST guard table: CIDEr 5.1 -> "
+                        "0.0); w=1.0 holds quality while the reward "
+                        "gradient acts — use 0.0 to reproduce the recorded "
+                        "collapse")
     args = p.parse_args(argv)
 
     import jax
@@ -487,10 +500,25 @@ def main(argv=None):
 
     tr = make_trainer(args.warm_epochs)
     t0 = time.time()
-    warm_state, hist = tr.fit(train_ds, val_ds, validate_beam=3)
-    save_params("warm_params", warm_state.params)
+    if args.warm_params and os.path.isdir(args.warm_params):
+        import orbax.checkpoint as ocp
+
+        template = tr.init_state(jax.random.PRNGKey(0))
+        with ocp.StandardCheckpointer() as ckptr:
+            warm_p = ckptr.restore(os.path.abspath(args.warm_params),
+                                   template.params)
+        warm_state = template.replace(params=warm_p)
+        hist = []
+        cider, _ = tr.validate(warm_state, val_ds, beam_size=3)
+        print(f"loaded warm params from {args.warm_params}; "
+              f"val CIDEr={cider:.4f}", flush=True)
+        warm_cider = cider
+    else:
+        warm_state, hist = tr.fit(train_ds, val_ds, validate_beam=3)
+        save_params("warm_params", warm_state.params)
+        warm_cider = hist[-1]["cider"]
     results["xe_warm"] = {
-        "history": hist, "final_cider": hist[-1]["cider"],
+        "history": hist, "final_cider": warm_cider,
         "seconds": time.time() - t0,
         **branch_report(tr, warm_state),
     }
@@ -502,8 +530,10 @@ def main(argv=None):
                   "cider": {"cider_tune": True},
                   "lrp_cider": {"lrp_cider_tune": True}}
     for mode in args.modes.split(","):
+        extra = ({"scst_ce_weight": args.scst_ce_weight}
+                 if mode in ("cider", "lrp_cider") else {})
         tr2 = make_trainer(args.tune_epochs, decoder_lr=5e-5,
-                           encoder_lr=5e-5, **MODE_FLAGS[mode])
+                           encoder_lr=5e-5, **MODE_FLAGS[mode], **extra)
         st = tr2.init_state(jax.random.PRNGKey(0))
         # warm-start copy — the jitted steps donate their buffers
         st = st.replace(params=jax.tree_util.tree_map(
