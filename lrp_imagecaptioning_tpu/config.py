@@ -122,6 +122,11 @@ class TrainConfig:
     # are selected at the dataset instead (CaptionDataset(uint8_images=True),
     # 4x fewer bytes).  "float32" (default) = exact reference parity.
     upload_dtype: str = "float32"
+    # concurrent host->device uploads in the prefetched epoch loops (the
+    # serving pipeline-depth trick; >1 overlaps device_put latency on the
+    # tunnel backend — measure with tools/bench_train_step.py
+    # --feed-depth-sweep before raising)
+    upload_workers: int = 1
 
     @property
     def mode(self) -> str:

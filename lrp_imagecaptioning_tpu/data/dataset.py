@@ -154,7 +154,8 @@ class CaptionDataset:
             yield CaptionBatch(images, captions, all_caps, caplens)
 
     def train_batches_prefetched(
-        self, batch_size: int, *, prefetch: int = 2, transform=None, **kw
+        self, batch_size: int, *, prefetch: int = 2, transform=None,
+        workers: int = 1, **kw
     ) -> Iterator[CaptionBatch]:
         """``train_batches`` with a background decode thread so host image
         decode overlaps device compute (the reference leans on DataLoader
@@ -162,13 +163,48 @@ class CaptionDataset:
 
         ``transform`` runs on each batch INSIDE the producer thread — passing
         a device_put closure there overlaps the host->device upload with the
-        consumer's step dispatch (double-buffered input pipeline)."""
+        consumer's step dispatch (double-buffered input pipeline).
+
+        ``workers > 1`` runs up to that many ``transform`` calls CONCURRENTLY
+        (a dispatcher thread decodes batches in order and submits them to a
+        thread pool; the consumer resolves futures in order, so epoch
+        semantics are unchanged).  This is the serving pipeline-depth trick
+        applied to the training feed: on the axon tunnel one upload is
+        latency-bound, so D in-flight ``device_put``\\ s can raise aggregate
+        feed bandwidth (measured by tools/bench_train_step.py
+        --feed-depth-sweep)."""
         import queue
         import threading
 
-        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         sentinel = object()
         err: list[BaseException] = []
+
+        if workers > 1 and transform is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, workers))
+
+            def dispatcher(ex):
+                try:
+                    for batch in self.train_batches(batch_size, **kw):
+                        q.put(ex.submit(transform, batch))
+                except BaseException as e:  # noqa: BLE001 - reraised below
+                    err.append(e)
+                finally:
+                    q.put(sentinel)
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                t = threading.Thread(target=dispatcher, args=(ex,), daemon=True)
+                t.start()
+                while True:
+                    item = q.get()
+                    if item is sentinel:
+                        if err:
+                            raise err[0]
+                        return
+                    yield item.result()
+
+        q = queue.Queue(maxsize=prefetch)
 
         def producer():
             try:

@@ -508,7 +508,8 @@ class Trainer:
 
         for i, (images_d, caps_d, n) in enumerate(
                 ds.train_batches_prefetched(self.tcfg.batch_size,
-                                            transform=upload)):
+                                            transform=upload,
+                                            workers=self.tcfg.upload_workers)):
             state, loss, acc = step(state, images_d, caps_d,
                                     rngs[min(i, n_steps - 1)])
             loss_refs.append(loss)
@@ -549,7 +550,8 @@ class Trainer:
                 jnp.asarray(self._upload_images(batch.images)), bs))
 
         for i, batch in enumerate(ds.train_batches_prefetched(
-                self.tcfg.batch_size, transform=upload)):
+                self.tcfg.batch_size, transform=upload,
+                workers=self.tcfg.upload_workers)):
             state, loss, rew = step_fn(state, batch,
                                        rngs[min(i, n_steps - 1)], num_steps)
             loss_refs.append(loss)

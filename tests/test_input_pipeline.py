@@ -169,3 +169,39 @@ def test_epoch_bf16_upload_close_to_f32(eight_devices):
             ref = loss
         else:
             assert loss == pytest.approx(ref, rel=2e-2), (dtype, loss, ref)
+
+
+def test_prefetched_workers_preserve_order_and_results():
+    """workers>1 runs transforms concurrently but must deliver batches in the
+    same order with the same contents as the serial producer (epoch
+    semantics unchanged — only upload overlap differs)."""
+    import time
+
+    train_ds, _, _ = toy_dataset(num_images=16, captions_per_image=1,
+                                 max_len=8, height=16, width=16, seed=7)
+
+    def transform(batch):
+        time.sleep(0.01 * (batch.captions[0, 1] % 3))  # jitter completion
+        return (batch.images.sum(), batch.captions.copy())
+
+    serial = list(train_ds.train_batches_prefetched(
+        4, transform=transform, shuffle=False))
+    train_ds2, _, _ = toy_dataset(num_images=16, captions_per_image=1,
+                                  max_len=8, height=16, width=16, seed=7)
+    concurrent = list(train_ds2.train_batches_prefetched(
+        4, transform=transform, workers=4, shuffle=False))
+    assert len(serial) == len(concurrent) == 4
+    for (s_sum, s_caps), (c_sum, c_caps) in zip(serial, concurrent):
+        assert s_sum == c_sum
+        np.testing.assert_array_equal(s_caps, c_caps)
+
+
+def test_prefetched_workers_propagate_errors():
+    train_ds, _, _ = toy_dataset(num_images=8, captions_per_image=1,
+                                 max_len=8, height=16, width=16, seed=7)
+
+    def bad(batch):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(train_ds.train_batches_prefetched(4, transform=bad, workers=2))

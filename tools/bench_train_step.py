@@ -65,6 +65,12 @@ def main():
                     help="encoder gradients on (reference train.py:95-109)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the virtual CPU backend (smoke)")
+    ap.add_argument("--feed-depth-sweep", action="store_true",
+                    help="measure aggregate host->device upload bandwidth "
+                         "with 1/2/4 concurrent in-flight device_puts "
+                         "(VERDICT r3 #6: can pipeline depth beat the "
+                         "280 ms/batch uint8 feed floor the way it did for "
+                         "serving dispatch?) and exit")
     ap.add_argument("--peak-tflops", type=float, default=197.0,
                     help="bf16 peak for MFU (v5e ~197; this backend runs "
                          "f32 matmuls as one bf16 MXU pass, see CLAUDE.md)")
@@ -117,6 +123,53 @@ def main():
 
     def sync0(x):
         return np.asarray(x)
+
+    if args.feed_depth_sweep:
+        from concurrent.futures import ThreadPoolExecutor
+
+        shape = ((args.batch, 36, cfg.bu_feat_dim) if bu
+                 else (args.batch, args.height, args.height, 3))
+        n_batches = 12
+        # distinct payloads per upload (the helper does not memoize, but a
+        # shared buffer could alias host-side)
+        if args.upload_dtype == "uint8" and not bu:
+            host = [rng0.integers(0, 256, size=shape, dtype=np.uint8)
+                    for _ in range(n_batches)]
+        else:
+            host = [rng0.normal(size=shape).astype(
+                        jnp.bfloat16 if args.upload_dtype == "bfloat16"
+                        else np.float32)
+                    for _ in range(n_batches)]
+
+        def upload_one(x):
+            d = jax.device_put(jnp.asarray(x))
+            sync0(d.ravel()[0])  # confirm arrival; scalar pull only
+            return d
+
+        upload_one(host[0])  # warm the transfer path + any layout program
+        results = {}
+        for depth in (1, 2, 4):
+            with ThreadPoolExecutor(max_workers=depth) as ex:
+                t0 = time.perf_counter()
+                futs = [ex.submit(upload_one, x) for x in host]
+                for f in futs:
+                    f.result()
+                dt = time.perf_counter() - t0
+            ms = 1e3 * dt / n_batches
+            results[f"depth_{depth}"] = {
+                "ms_per_batch": round(ms, 1),
+                "images_per_sec": round(args.batch / (ms / 1e3), 1),
+            }
+            print(f"depth {depth}: {ms:.1f} ms/batch "
+                  f"({args.batch / (ms / 1e3):.1f} img/s)", flush=True)
+        print(json.dumps({
+            "metric": "feed_depth_sweep", "batches": n_batches,
+            "upload_mb_per_batch": round(host[0].nbytes / 1e6, 2),
+            "upload_dtype": args.upload_dtype, "batch": args.batch,
+            "height": args.height, "results": results,
+            "platform": jax.devices()[0].platform,
+        }))
+        return
 
     if args.mode in ("scst", "lrp_scst"):
         import types
