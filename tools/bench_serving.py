@@ -117,6 +117,12 @@ def main():
                     help="request payload dtype: uint8 ships raw pixels "
                          "(4x smaller submit->device transfer, normalized "
                          "on device via prepare_visual)")
+    ap.add_argument("--profile", action="store_true",
+                    help="skip the load sweep; split ONE summary batch's "
+                         "cost into program / per-leaf readback / packed "
+                         "readback / host render / request upload (VERDICT "
+                         "r3 #7: why does saturated summary serving run at "
+                         "~1/3.7 of the raw explain-core rate?)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -167,6 +173,102 @@ def main():
         images = [rng.normal(size=(hw, hw, 3)).astype(np.float32)
                   for _ in range(4 * batch)]
     delay = args.max_delay_ms / 1e3
+
+    if args.profile:
+        import time as _time
+
+        import jax.numpy as jnp
+
+        from lrp_imagecaptioning_tpu.serving.service import ExplainService
+
+        core = explainer.batched_summary_core()
+        imgs = jnp.asarray(np.stack([np.asarray(x, np.float32)
+                                     for x in images[:batch]]))
+        svc = ExplainService(explainer, batch_size=batch, payload="summary")
+
+        def pull_scalar(out):
+            np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
+        out = core(params, imgs)
+        _ = [np.asarray(x) for x in out]  # warm program + transfer paths
+        iters = 10
+
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            out = core(params, imgs)
+        pull_scalar(out)
+        program_ms = 1e3 * (_time.perf_counter() - t0) / iters
+
+        # the service's finalize pattern: one np.asarray per output leaf
+        out = core(params, imgs)
+        pull_scalar(out)
+        leaf_ms = []
+        for leaf in out:
+            t0 = _time.perf_counter()
+            for _ in range(iters):
+                np.asarray(leaf)
+            leaf_ms.append(1e3 * (_time.perf_counter() - t0) / iters)
+
+        # packed alternative: ONE f32 vector per batch, one pull
+        @jax.jit
+        def packed(params, images):
+            leaves = core(params, images)
+            return jnp.concatenate(
+                [jnp.ravel(x).astype(jnp.float32) for x in leaves])
+
+        flat = packed(params, imgs)
+        np.asarray(flat)  # warm
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            flat = packed(params, imgs)
+        pull_scalar((flat,))
+        packed_program_ms = 1e3 * (_time.perf_counter() - t0) / iters
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            np.asarray(flat)
+        packed_pull_ms = 1e3 * (_time.perf_counter() - t0) / iters
+
+        # host render (the service's _summary_result loop)
+        host = [np.asarray(x) for x in out]
+        tokens, length, stats, r_words, betas = host
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            res = [svc._summary_result(tokens[i], int(length[i]), stats[i],
+                                       r_words[i], betas[i])
+                   for i in range(batch)]
+        render_ms = 1e3 * (_time.perf_counter() - t0) / iters
+        assert len(res) == batch
+
+        # request-side upload of one coalesced batch
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            d = jax.device_put(jnp.asarray(np.stack(
+                [np.asarray(x, np.float32) for x in images[:batch]])))
+        np.asarray(d.ravel()[0])
+        upload_ms = 1e3 * (_time.perf_counter() - t0) / iters
+
+        rec = {
+            "metric": "serving_summary_profile",
+            "batch": batch, "height": hw, "max_words": max_words,
+            "platform": jax.default_backend(),
+            "program_ms": round(program_ms, 1),
+            "finalize_per_leaf_pull_ms": [round(x, 1) for x in leaf_ms],
+            "finalize_total_pull_ms": round(sum(leaf_ms), 1),
+            "packed_program_ms": round(packed_program_ms, 1),
+            "packed_single_pull_ms": round(packed_pull_ms, 1),
+            "host_render_ms": round(render_ms, 1),
+            "batch_upload_ms": round(upload_ms, 1),
+            "implied_serial_batch_ms": round(
+                program_ms + sum(leaf_ms) + render_ms + upload_ms, 1),
+            "implied_packed_batch_ms": round(
+                packed_program_ms + packed_pull_ms + render_ms + upload_ms,
+                1),
+        }
+        print(json.dumps(rec, indent=1))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(rec, f, indent=2)
+        return
 
     regimes = {}
     print(f"# backend={jax.default_backend()} batch={batch} hw={hw} "
