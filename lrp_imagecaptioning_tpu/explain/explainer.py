@@ -139,6 +139,7 @@ class GridTDExplainerBase:
         self._core = jax.jit(self._explain_core)
         self._batched_core_jit = None  # lazily-built, cached (serving reuses)
         self._summary_core_jit = None  # lazily-built, cached (serving reuses)
+        self._summary_packed_jit = None  # lazily-built, cached (serving reuses)
 
     # -- subclass hooks --------------------------------------------------
     def _make_stash(self, params, feats, tokens_in):
@@ -411,6 +412,37 @@ class GridTDExplainerBase:
             return tokens, length, stats, r_words, betas
 
         return f
+
+    def batched_summary_core_packed(self):
+        """:meth:`batched_summary_core` with every output leaf raveled and
+        concatenated into ONE float32 vector on device.
+
+        Exists for the tunnel-serving path: the unpacked tuple costs the
+        service finalize FIVE sequential ``np.asarray`` pulls, and on the
+        axon remote backend every pull is a full network round trip — the
+        measured bulk of the summary batch interval (bench_serving
+        --profile).  One ~50 KB vector is one pull.  int32 leaves (tokens,
+        length) cast losslessly: values are bounded by the padded vocab
+        (< 2^24).  Use :meth:`summary_leaf_specs` to unpack on host."""
+        if self._summary_packed_jit is None:
+            base = self._summary_fn()
+
+            def f(params, images):
+                leaves = base(params, images)
+                return jnp.concatenate(
+                    [jnp.ravel(x).astype(jnp.float32) for x in leaves])
+
+            self._summary_packed_jit = jax.jit(f)
+        return self._summary_packed_jit
+
+    def summary_leaf_specs(self, images_shape, images_dtype=jnp.float32):
+        """(shape, dtype) of each :meth:`batched_summary_core` output leaf
+        for a given input batch shape — the host-side unpack schema for the
+        packed transfer (no device work: ``jax.eval_shape``)."""
+        avals = jax.eval_shape(
+            self._summary_fn(), self.params,
+            jax.ShapeDtypeStruct(tuple(images_shape), jnp.dtype(images_dtype)))
+        return [(tuple(a.shape), np.dtype(a.dtype)) for a in avals]
 
     def batched_core_sharded(self, mesh, *, data_axis: str = "data"):
         """Data-parallel explanation over a device mesh — the v5e-8 scaling

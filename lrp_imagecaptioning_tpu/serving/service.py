@@ -226,7 +226,7 @@ class ExplainService(_ServiceBase):
     def __init__(self, explainer, *, batch_size: int = 8,
                  max_delay_s: float = 0.005, payload: str = "full",
                  pipeline_depth: int = 2, mesh=None,
-                 data_axis: str = "data"):
+                 data_axis: str = "data", packed_transfer: bool | None = None):
         super().__init__(explainer.cap, batch_size=batch_size,
                          max_delay_s=max_delay_s, name="explain",
                          pipeline_depth=pipeline_depth, mesh=mesh,
@@ -236,6 +236,19 @@ class ExplainService(_ServiceBase):
                 f"payload must be 'full' or 'summary', got {payload!r}")
         self.explainer = explainer
         self.payload = payload
+        # packed_transfer: ship the summary outputs as ONE flat f32 vector
+        # -> ONE device->host pull per batch instead of five sequential
+        # round trips (each a full network RTT on the axon tunnel — the
+        # measured bulk of the summary batch interval, bench_serving
+        # --profile).  None = auto: on for single-device summary serving;
+        # the mesh path keeps per-leaf outputs (out_specs shard the batch
+        # axis; a flat concat has none).
+        self.packed_transfer = (payload == "summary" and mesh is None
+                                if packed_transfer is None
+                                else bool(packed_transfer))
+        if self.packed_transfer and mesh is not None:
+            raise ValueError("packed_transfer is single-device only (the "
+                             "sharded summary core shards the batch axis)")
         self._full_core = (
             explainer.batched_core_sharded(mesh, data_axis=data_axis)
             if mesh is not None and payload == "full" else None)
@@ -246,6 +259,9 @@ class ExplainService(_ServiceBase):
                 explainer.batched_summary_core_sharded(
                     mesh, data_axis=data_axis)
                 if mesh is not None else explainer.batched_summary_core())
+            if self.packed_transfer:
+                self._packed_core = explainer.batched_summary_core_packed()
+                self._leaf_specs: dict = {}
 
     def _dispatch_batch(self, payloads):
         images = _pad_batch(payloads, self.batch_size)
@@ -256,14 +272,41 @@ class ExplainService(_ServiceBase):
                           if not self.cap.cfg.is_bu else None)
                 return out, img_hw
             return self.explainer.explain_batch_dispatch(images)
+        if self.packed_transfer:
+            key = (images.shape, str(images.dtype))
+            if key not in self._leaf_specs:
+                self._leaf_specs[key] = self.explainer.summary_leaf_specs(
+                    images.shape, images.dtype)
+            return key, self._packed_core(self.explainer.params, images)
         return self._summary_core(self.explainer.params, images)
+
+    def _unpack_summary(self, key, flat: np.ndarray):
+        """Split the packed f32 vector back into the summary leaves (host
+        side; int leaves round-trip exactly — values < 2^24)."""
+        leaves, off = [], 0
+        for shape, dtype in self._leaf_specs[key]:
+            n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            chunk = flat[off:off + n].reshape(shape)
+            if np.issubdtype(dtype, np.integer):
+                chunk = np.rint(chunk).astype(dtype)
+            else:
+                chunk = chunk.astype(dtype)
+            leaves.append(chunk)
+            off += n
+        assert off == flat.size, (off, flat.size)
+        return leaves
 
     def _finalize_batch(self, handle, payloads):
         k = len(payloads)
         if self.payload == "full":
             return self.explainer.explain_batch_finalize(handle, k)
-        tokens, length, stats, r_words, betas = (
-            np.asarray(x) for x in handle)
+        if self.packed_transfer:
+            key, flat = handle
+            tokens, length, stats, r_words, betas = self._unpack_summary(
+                key, np.asarray(flat))
+        else:
+            tokens, length, stats, r_words, betas = (
+                np.asarray(x) for x in handle)
         return [
             self._summary_result(tokens[i], int(length[i]), stats[i],
                                  r_words[i], betas[i])

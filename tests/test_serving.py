@@ -552,3 +552,30 @@ def test_http_decode_input_uint8():
     with pytest.raises(ValueError):
         decode_input({"b64": spec["b64"], "shape": [4, 4, 3],
                       "dtype": "int64"})
+
+
+def test_explain_summary_packed_matches_unpacked(tiny_setup):
+    """packed_transfer ships ONE flat f32 vector per batch; results must be
+    byte-identical to the five-leaf transfer (int leaves round-trip
+    exactly)."""
+    cap, params, wm, images = tiny_setup
+    from lrp_imagecaptioning_tpu.explain import build_explainer
+    from lrp_imagecaptioning_tpu.serving import ExplainService
+
+    expl = build_explainer("lrp", cap, params, wm, max_words=5,
+                           cnn_word_chunk=0)
+    packed = ExplainService(expl, batch_size=2, payload="summary",
+                            packed_transfer=True)
+    plain = ExplainService(expl, batch_size=2, payload="summary",
+                           packed_transfer=False)
+    assert packed.packed_transfer and not plain.packed_transfer
+    outs_p = packed._run_batch([images[0], images[1]])
+    outs_u = plain._run_batch([images[0], images[1]])
+    assert len(outs_p) == len(outs_u) == 2
+    for a, b in zip(outs_p, outs_u):
+        assert a["caption"] == b["caption"]
+        assert a["tokens"] == b["tokens"]
+        np.testing.assert_allclose(a["relevance_stats"]["sum"],
+                                   b["relevance_stats"]["sum"], rtol=1e-6)
+        np.testing.assert_allclose(a["relevance_words"],
+                                   b["relevance_words"], rtol=1e-6)

@@ -276,10 +276,10 @@ def main():
 
     depth = args.pipeline_depth
 
-    def svc_summary(d=depth):
+    def svc_summary(d=depth, packed=None):
         return ExplainService(explainer, batch_size=batch,
                               max_delay_s=delay, payload="summary",
-                              pipeline_depth=d)
+                              pipeline_depth=d, packed_transfer=packed)
 
     def svc_full():
         return ExplainService(explainer, batch_size=batch,
@@ -298,6 +298,8 @@ def main():
     # depth 8; 48 lost 13% vs 32 at depth 2), so the default stays flat
     sat = args.clients or 4 * batch
     plan = [("saturated_summary", svc_summary, sat),
+            ("saturated_summary_unpacked",
+             lambda: svc_summary(packed=False), sat),
             ("saturated_summary_sync", lambda: svc_summary(1), 4 * batch),
             ("low_load_summary", svc_summary, 1),
             ("caption_saturated", svc_caption, sat)]
