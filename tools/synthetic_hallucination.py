@@ -469,19 +469,22 @@ def main(argv=None):
     results = {"config": vars(args) | {"vocab": len(word_map)},
                "groups": groups}
 
-    def make_trainer(epochs, **tkw):
+    def make_trainer(epochs, finetune_encoder=True, **tkw):
         t = TrainConfig(batch_size=args.batch_size, epochs=epochs,
                         max_caption_len=16, print_freq=100,
-                        finetune_encoder=True, **tkw)
+                        finetune_encoder=finetune_encoder, **tkw)
         return Trainer(ExperimentConfig(model=model, train=t,
                                         mesh=MeshConfig()), word_map)
 
     def save_params(tag, params):
         if not args.save_params:
             return
+        import shutil
+
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(args.save_params, tag))
+        shutil.rmtree(path, ignore_errors=True)  # orbax refuses overwrite
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path, params)
         print("saved params:", path, flush=True)
@@ -509,10 +512,9 @@ def main(argv=None):
                                    template.params)
         warm_state = template.replace(params=warm_p)
         hist = []
-        cider, _ = tr.validate(warm_state, val_ds, beam_size=3)
+        _bleu, warm_cider = tr.validate(warm_state, val_ds, beam_size=3)
         print(f"loaded warm params from {args.warm_params}; "
-              f"val CIDEr={cider:.4f}", flush=True)
-        warm_cider = cider
+              f"val CIDEr={warm_cider:.4f}", flush=True)
     else:
         warm_state, hist = tr.fit(train_ds, val_ds, validate_beam=3)
         save_params("warm_params", warm_state.params)
@@ -530,8 +532,16 @@ def main(argv=None):
                   "cider": {"cider_tune": True},
                   "lrp_cider": {"lrp_cider_tune": True}}
     for mode in args.modes.split(","):
-        extra = ({"scst_ce_weight": args.scst_ce_weight}
-                 if mode in ("cider", "lrp_cider") else {})
+        scst = mode in ("cider", "lrp_cider")
+        # SCST branches: CE anchor + FROZEN encoder (decoder-only policy
+        # gradient).  Measured: even with the w=1.0 anchor, pushing the
+        # policy gradient through the CNN at 5e-5 collapses the model
+        # (annotation corpus: 2.19 -> 0.48/0.19 CIDEr, recall 0.94 -> 0.21)
+        # while the frozen-encoder guard run holds 5.05 on the sharp corpus
+        # (docs/QUALITY.md).  Matches the reference practice of starting
+        # the cider stages from a trained checkpoint.
+        extra = ({"scst_ce_weight": args.scst_ce_weight,
+                  "finetune_encoder": False} if scst else {})
         tr2 = make_trainer(args.tune_epochs, decoder_lr=5e-5,
                            encoder_lr=5e-5, **MODE_FLAGS[mode], **extra)
         st = tr2.init_state(jax.random.PRNGKey(0))
