@@ -113,7 +113,12 @@ class GridTDExplainerBase:
         # chunk the big shallow maps at cnn_word_chunk as usual.  The
         # operating-point sweep only ever varied a UNIFORM chunk; this
         # probes whether the deep stages' many tiny ops benefit from wider
-        # batching.  None = auto OFF.
+        # batching.  None = auto OFF — measured in situ on v5e (bench.py
+        # --deep-split, iters=20): 124.6 vs 128.6 img/s plain, a ~3% LOSS.
+        # The blocks-4/5 weight reads the roofline attributes per word are
+        # NOT amortized by widening the word batch 8->16 (XLA already
+        # streams weights per batch tile), and the wider deep vmap breaks
+        # the chunk-level fusion the production form enjoys.
         self.cnn_deep_all_words = bool(cnn_deep_all_words)
         if self.cnn_deep_all_words and self.pallas_block1:
             # _upper_cnn_stage would silently drop the deep split (it maps
