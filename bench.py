@@ -65,6 +65,12 @@ def main():
                     help="two-level word chunking: blocks 5-4 walk ALL "
                          "words in one pass, shallow blocks keep "
                          "cnn_word_chunk (explainer cnn_deep_all_words)")
+    ap.add_argument("--conv1-merge", default="",
+                    help="single-conv clamped-input backward for conv1_1 "
+                         "(kernels concatenated on the output-channel axis; "
+                         "cnn_lrp.make_vgg_lrp_backward conv1_merge): '' = "
+                         "auto (ON on the compact/TPU path), '0' forces the "
+                         "two-conv pre-merge form for A/B, '1' forces on")
     ap.add_argument("--s2d", default="",
                     help="space-to-depth block-1 walk: '0' off, '1'/'phase' "
                          "four 2x2 phase convs, 'dense' one 3x3 256-ch "
@@ -152,6 +158,8 @@ def main():
     ex_kw = {}
     if args.deep_split:
         ex_kw["cnn_deep_all_words"] = True
+    if args.conv1_merge:
+        ex_kw["cnn_conv1_merge"] = args.conv1_merge == "1"
     if args.wdtype:
         ex_kw["cnn_w_dtype"] = args.wdtype
     if args.s2d:

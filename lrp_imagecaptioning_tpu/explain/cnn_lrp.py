@@ -337,6 +337,7 @@ def make_vgg_lrp_backward(
     fuse_stash: bool | None = None,
     conv1_tap: bool | None = None,
     s2d_block1: bool | None = None,
+    conv1_merge: bool | None = None,
 ):
     """Amortized per-caption CNN LRP: run the forward (and each rule's
     clamped-weight forward) ONCE, capture the per-layer vjp closures — which
@@ -416,6 +417,26 @@ def make_vgg_lrp_backward(
         conv1_tap = False
     if s2d_block1 is None:
         s2d_block1 = False
+    # conv1_merge: the clamped-INPUT backward of the signed input layer
+    # (conv1_1 — every other VGG conv is post-relu and already collapses to
+    # ONE w+ conv_transpose) runs TWO conv_transposes over the SAME
+    # cotangent s (w+ routed through x>0, w- through x<0).  XLA cannot
+    # merge two conv custom-calls, but concatenating the flipped kernels on
+    # the OUTPUT-channel axis turns them into ONE conv (3,3,64,2*Cin) whose
+    # output slices are exactly the two grads: halves the conv launches,
+    # the per-word HBM reads of s, and the fixed per-conv inefficiency of
+    # the MXU-hostile Cout=3 shape at that stage.  BIT-IDENTICAL to the
+    # two-conv form (per-output-channel contractions are independent;
+    # pinned in tests/test_cnn_lrp.py).  None = auto ON for the compact
+    # (w_dtype != f32, i.e. TPU) path — measured in situ on v5e
+    # (bench.py --conv1-merge 0/1, iters=20, two run pairs):
+    # 139.5/139.1 vs 128.6/128.6 img/s, a reproducible +8.2% headline win
+    # — the round-3 tap postmortem's "0.45 ms/img" for this stage measured
+    # only the marginal cost of the SECOND conv, not the dispatch+tile
+    # overhead both convs pay.  The f32 path keeps the jax.vjp backward
+    # (conv1_merge has no effect there), preserving CPU parity exactly.
+    if conv1_merge is None:
+        conv1_merge = True
     # Fused-map path (opt-in, measured SLOWER): adjacent per-caption
     # multipliers in the walk — x_in of conv k and zinv of the conv visited
     # next, or a pool winner and the zinv below it — multiply the same
@@ -496,10 +517,23 @@ def make_vgg_lrp_backward(
                                    .astype(jnp.float32)).astype(w_dtype)
                     sp, sn = x > 0, x < 0
 
-                    def bwd(s, wtp=wtp, wtn=wtn, sp=sp, sn=sn):
-                        return (jnp.where(sp, _conv_transpose_same(s, wtp), 0.0)
-                                + jnp.where(sn, _conv_transpose_same(s, wtn),
-                                            0.0),)
+                    if conv1_merge:
+                        # one conv, kernels concatenated on the output-
+                        # channel axis (see the conv1_merge note above)
+                        wt2 = jnp.concatenate([wtp, wtn], axis=-1)
+
+                        def bwd(s, wt2=wt2, sp=sp, sn=sn, cin=cin):
+                            g = _conv_transpose_same(s, wt2)
+                            return (jnp.where(sp, g[..., :cin], 0.0)
+                                    + jnp.where(sn, g[..., cin:], 0.0),)
+                    else:
+                        def bwd(s, wtp=wtp, wtn=wtn, sp=sp, sn=sn):
+                            return (jnp.where(sp,
+                                              _conv_transpose_same(s, wtp),
+                                              0.0)
+                                    + jnp.where(sn,
+                                                _conv_transpose_same(s, wtn),
+                                                0.0),)
             else:
                 bwd = vjp
             # stash the stabilized reciprocal instead of z: the per-word

@@ -66,6 +66,7 @@ class GridTDExplainerBase:
         cnn_w_dtype: str | None = None,
         cnn_s2d_block1: bool | None = None,
         cnn_deep_all_words: bool | None = None,
+        cnn_conv1_merge: bool | None = None,
     ):
         self.cap = captioner
         self.params = params
@@ -108,6 +109,12 @@ class GridTDExplainerBase:
         # HBM-bound; see the verdict note in make_vgg_lrp_backward).
         # Same walk up to float reassociation (tests/test_cnn_s2d.py).
         self.cnn_s2d_block1 = cnn_s2d_block1
+        # merged single-conv clamped-input backward for conv1_1 (see
+        # cnn_lrp.make_vgg_lrp_backward's conv1_merge note).  None = auto
+        # ON for the compact (TPU) path — bit-identical to the two-conv
+        # form and a measured +8.2% headline win (128.6 -> 139.1 img/s);
+        # pass False to reproduce the pre-merge A/B baseline.
+        self.cnn_conv1_merge = cnn_conv1_merge
         # two-level word chunking for the LRP walk (VGG only): walk blocks
         # 5-4 (maps <= 28^2) with ALL max_words lanes in ONE pass, then
         # chunk the big shallow maps at cnn_word_chunk as usual.  The
@@ -217,11 +224,13 @@ class GridTDExplainerBase:
             return make_resnet_lrp_backward(
                 params.encoder, image,
                 r_dtype=self._resolved_r_dtype(),
-                w_dtype=self._resolved_w_dtype())[0]
+                w_dtype=self._resolved_w_dtype(),
+                stem_merge=self.cnn_conv1_merge)[0]
         return make_vgg_lrp_backward(
             params.encoder, image, r_dtype=self._resolved_r_dtype(),
             w_dtype=self._resolved_w_dtype(),
-            s2d_block1=self._resolved_s2d_block1())[0]
+            s2d_block1=self._resolved_s2d_block1(),
+            conv1_merge=self.cnn_conv1_merge)[0]
 
     def _resolved_w_dtype(self):
         """Storage dtype of the walk's conv-transpose kernels: explicit

