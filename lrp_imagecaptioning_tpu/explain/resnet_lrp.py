@@ -81,6 +81,71 @@ def _strided_conv_transpose(weight: jax.Array, stride: int,
     return transpose
 
 
+def _pool3x3s2_first_winner_masks(x: jax.Array, y: jax.Array) -> jax.Array:
+    """(1,H,W,C) pool input / (1,Ho,Wo,C) pooled output -> bool
+    (9,1,Ho,Wo,C): per 3x3/stride-2/pad-1 window, a one-hot mask over the
+    9 taps marking the FIRST maximal element in row-major tap order —
+    exactly XLA SelectAndScatter's (and torch max_pool2d backward's) tie
+    routing, same probe as ``cnn_lrp.first_winner_mask`` generalized to
+    OVERLAPPING windows (an input element may win several windows; it then
+    appears in several per-window tap masks, and the fast backward's adds
+    reproduce the scatter-add).  Computed once per caption; the per-word
+    backward (:func:`_pool3x3s2_fast_bwd`) is 9 masked dilate-shift adds —
+    pure elementwise, replacing a per-word SelectAndScatter custom-call
+    that measured 2.04 ms/img for 16 words on v5e (HALF the whole resnet
+    explain program)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                 constant_values=-jnp.inf)
+    ho, wo, c = y.shape[1], y.shape[2], y.shape[3]
+    eqs = []
+    for di in range(3):
+        for dj in range(3):
+            xt = jax.lax.slice(
+                xp, (0, di, dj, 0),
+                (1, di + 2 * ho - 1, dj + 2 * wo - 1, c), (1, 2, 2, 1))
+            eqs.append(xt == y)
+    taken = jnp.zeros_like(eqs[0])
+    firsts = []
+    for e in eqs:
+        firsts.append(e & ~taken)
+        taken = taken | e
+    return jnp.stack(firsts)
+
+
+def _pool3x3s2_fast_bwd(masks: jax.Array, r: jax.Array) -> jax.Array:
+    """Scatter per-window values ``r`` (1,Ho,Wo,C) back to the pool input
+    grid (1,2*Ho,2*Wo,C) through the precomputed first-winner tap masks:
+    tap (di,dj)'s entries land at input position (2i+di-1, 2j+dj-1).
+
+    Formulated as FOUR PARITY-PHASE planes assembled with one interleaving
+    reshape — NOT as interior-dilation ``lax.pad``s, which this backend
+    executes ~5x slower than the SelectAndScatter they were meant to
+    replace (measured 10.4 vs 2.04 ms per 16 words on v5e).  Input row
+    p = 2i+di-1 is even only for di=1 (i=p/2) and odd for di∈{0,2}
+    (i=(p±1)/2), so each output parity phase (u,v) is a sum of 1/2/2/4
+    shifted 56² tap maps; out-of-range shifts carry False masks (the -inf
+    border in the mask builder), so zero-padding the shift is exact."""
+    m = [r * masks[k] for k in range(9)]  # m[3*a+b], tap (a, b)
+
+    def _sh(t, dr, dc):
+        if dr:
+            t = jnp.pad(t[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+        if dc:
+            t = jnp.pad(t[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
+        return t
+
+    p_ee = m[4]                                        # (a,b) = (1,1)
+    p_eo = _sh(m[3], 0, 1) + m[5]                      # (1,0)->v+1, (1,2)
+    p_oe = _sh(m[1], 1, 0) + m[7]                      # (0,1)->u+1, (2,1)
+    p_oo = (_sh(m[0], 1, 1) + _sh(m[2], 1, 0)          # (0,0), (0,2)
+            + _sh(m[6], 0, 1) + m[8])                  # (2,0), (2,2)
+    row_e = jnp.stack([p_ee, p_eo], axis=3)            # (1,Ho,Wo,2,C)
+    row_o = jnp.stack([p_oe, p_oo], axis=3)
+    t = jnp.stack([row_e, row_o], axis=2)              # (1,Ho,2,Wo,2,C)
+    b, ho, _, wo, _, c = t.shape
+    return t.reshape(b, 2 * ho, 2 * wo, c)
+
+
 def _conv_ab_vjp(p: ConvBN, x: jax.Array, *, nonneg: bool = False,
                  w_dtype=None):
     """(z+, linear-vjp) for the alpha-beta rule of a strided, bias-free conv.
@@ -143,7 +208,8 @@ def _add_split(x1: jax.Array, x2: jax.Array, r: jax.Array):
 
 def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
                              *, r_dtype=None, stash_dtype=None,
-                             w_dtype=None, stem_merge: bool | None = None):
+                             w_dtype=None, stem_merge: bool | None = None,
+                             pool_mode: str = "vjp"):
     """Forward-stash once, return (backward(r_feature) -> r_image, features).
 
     Relevance math runs in the image's floating dtype (float32 normally;
@@ -205,8 +271,28 @@ def make_resnet_lrp_backward(params: ResNetParams, image: jax.Array,
     stem_a = a
     x = jax.nn.relu(bn(params.stem, a))
     pool_in = x
-    _, pool_vjp = jax.vjp(maxpool3x3s2, x)
     pool_z = maxpool3x3s2(x)
+    if pool_mode == "fast":
+        # RECORDED NEGATIVE (default stays "vjp"): precomputed first-winner
+        # tap masks; the per-word backward is 9 masked shifts + one
+        # interleaving reshape instead of a SelectAndScatter custom-call.
+        # Identical tie routing and support (pinned in
+        # tests/test_resnet.py::test_resnet_pool_fast_vs_vjp; values differ
+        # only by summation order, ~1e-7 relative).  Measured on v5e: the
+        # per-word SelectAndScatter costs 2.04 ms/img for 16 words (HALF
+        # the resnet explain program) — but the mask form does not beat it:
+        # interior-dilation lax.pads run 10.4 ms standalone (~5x), and this
+        # parity-phase form ties standalone (2.49) yet LOSES 25% in situ
+        # (187.5 vs 249.0 img/s headline) — the stack/reshape interleave
+        # breaks the per-word fusion that the elementwise chain around the
+        # custom-call otherwise enjoys.  The overlapping-pool stage is
+        # treated as practically bound at the S&S form.
+        pool_masks = _pool3x3s2_first_winner_masks(x, pool_z)
+
+        def pool_vjp(s, masks=pool_masks):
+            return (_pool3x3s2_fast_bwd(masks, s),)
+    else:
+        _, pool_vjp = jax.vjp(maxpool3x3s2, x)
     x = pool_z
 
     def _stab_inv(z):

@@ -221,3 +221,36 @@ def test_resnet_lrp_stem_merge_bitexact():
     r_merged = np.asarray(b_merged(seed))
     np.testing.assert_array_equal(r_merged, r_two)
     np.testing.assert_array_equal(np.asarray(b_auto(seed)), r_merged)
+
+
+def test_resnet_pool_fast_vs_vjp():
+    """The mask-form stem-pool backward (precomputed first-winner tap
+    masks + parity-phase interleave — a RECORDED IN-SITU NEGATIVE, default
+    stays "vjp"; see the pool_mode note in make_resnet_lrp_backward) must
+    route ties exactly like SelectAndScatter (identical nonzero support on
+    heavy-tie integer input) and match values to f32 summation-order
+    rounding; the full walk must track the vjp form the same way."""
+    from lrp_imagecaptioning_tpu.models.resnet import maxpool3x3s2
+    from lrp_imagecaptioning_tpu.explain.resnet_lrp import (
+        _pool3x3s2_first_winner_masks, _pool3x3s2_fast_bwd)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 3, size=(1, 16, 16, 4))
+                    .astype(np.float32))
+    y, vjp = jax.vjp(maxpool3x3s2, x)
+    masks = _pool3x3s2_first_winner_masks(x, y)
+    r = jnp.asarray(rng.normal(size=y.shape).astype(np.float32))
+    g_vjp = np.asarray(vjp(r)[0])
+    g_fast = np.asarray(_pool3x3s2_fast_bwd(masks, r))
+    np.testing.assert_array_equal(g_vjp != 0, g_fast != 0)
+    np.testing.assert_allclose(g_fast, g_vjp, rtol=0, atol=1e-6)
+
+    params = init_resnet(jax.random.PRNGKey(0), "resnet50")
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 0.5
+    b_fast, feats = make_resnet_lrp_backward(params, img, pool_mode="fast")
+    b_vjp, _ = make_resnet_lrp_backward(params, img)  # vjp = default
+    seed = jax.random.normal(jax.random.PRNGKey(2), feats.shape)
+    rf = np.asarray(b_fast(seed))
+    rv = np.asarray(b_vjp(seed))
+    scale = max(np.abs(rv).max(), 1e-12)
+    assert np.abs(rf - rv).max() / scale < 1e-5
