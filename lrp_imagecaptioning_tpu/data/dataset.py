@@ -178,6 +178,22 @@ class CaptionDataset:
 
         sentinel = object()
         err: list[BaseException] = []
+        # Consumer-abandonment guard: if the caller breaks out of the epoch
+        # (or the generator is GC'd / a transform raises), the producer side
+        # must not stay blocked forever on q.put holding decoded batches.
+        # The consumer's finally sets `stop`; producers put with a timeout
+        # and re-check it, so the thread always exits and its queue slots
+        # drain.
+        stop = threading.Event()
+
+        def _put(q, item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         if workers > 1 and transform is not None:
             from concurrent.futures import ThreadPoolExecutor
@@ -187,43 +203,53 @@ class CaptionDataset:
             def dispatcher(ex):
                 try:
                     for batch in self.train_batches(batch_size, **kw):
-                        q.put(ex.submit(transform, batch))
+                        if not _put(q, ex.submit(transform, batch)):
+                            return
                 except BaseException as e:  # noqa: BLE001 - reraised below
                     err.append(e)
                 finally:
-                    q.put(sentinel)
+                    _put(q, sentinel)
 
             with ThreadPoolExecutor(max_workers=workers) as ex:
                 t = threading.Thread(target=dispatcher, args=(ex,), daemon=True)
                 t.start()
-                while True:
-                    item = q.get()
-                    if item is sentinel:
-                        if err:
-                            raise err[0]
-                        return
-                    yield item.result()
+                try:
+                    while True:
+                        item = q.get()
+                        if item is sentinel:
+                            if err:
+                                raise err[0]
+                            return
+                        yield item.result()
+                finally:
+                    stop.set()
+            return
 
         q = queue.Queue(maxsize=prefetch)
 
         def producer():
             try:
                 for batch in self.train_batches(batch_size, **kw):
-                    q.put(batch if transform is None else transform(batch))
+                    out = batch if transform is None else transform(batch)
+                    if not _put(q, out):
+                        return
             except BaseException as e:  # noqa: BLE001 - reraised on consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                _put(q, sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            stop.set()
 
     def eval_batches(self, batch_size: int = 1) -> Iterator[EvalBatch]:
         for b in range(-(-len(self.items) // batch_size)):

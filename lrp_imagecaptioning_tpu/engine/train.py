@@ -41,7 +41,15 @@ from ..data.vocab import (
 )
 from ..metrics import BLEU, CIDEr
 from ..models.captioner import Captioner, CaptionerParams
-from ..parallel import batch_sharding, build_mesh, param_shardings, replicated
+from ..parallel import (
+    batch_sharding,
+    build_mesh,
+    global_batch_from_local,
+    host_shard,
+    param_shardings,
+    replicate_global,
+    replicated,
+)
 from .losses import cross_entropy_loss, reward_criterion, top1_accuracy
 from .scst import get_self_critical_reward
 
@@ -329,12 +337,47 @@ class Trainer:
         are placed with the mesh's data-parallel sharding so the rollout and
         update actually split rows over ``data`` like the XE step (committed
         shardings drive GSPMD; without them the batch stays replicated)."""
+        return self._scst_batch_impl(state, batch, rng, num_steps,
+                                     use_lrp=False)
+
+    def _scst_batch_impl(self, state: TrainState, batch, rng, num_steps: int,
+                         *, use_lrp: bool):
+        """Shared SCST / LRP-SCST step (see :meth:`scst_batch`).
+
+        Multi-process semantics: the reference's reward cooks CIDEr idf over
+        the per-batch 2B-item corpus (sampled + greedy,
+        modelutils.py:216-223).  Under host-sharded batches a local-rows
+        reward would build idf over B/num_hosts items and diverge from the
+        single-process reward, so the rollout's token outputs come back
+        fully REPLICATED (XLA all-gathers the tiny (B, T) int32 over ICI)
+        and every process computes the IDENTICAL reward over the global
+        corpus — ``batch.all_captions`` must be the global (B, C, L) host
+        array, which the every-host-reads-everything epoch loop provides.
+        Pinned equal to the single-process reward by
+        tests/test_distributed.py."""
         bs = batch_sharding(self.mesh, self.exp.mesh)
-        images = (batch.images if isinstance(batch.images, jax.Array)
-                  else jax.device_put(
-                      jnp.asarray(self._upload_images(batch.images)), bs))
-        ro = self._jit("scst_encode_rollout", self.scst_encode_rollout,
-                       static_argnums=(2,))
+        multihost = jax.process_count() > 1
+        axis = self.exp.mesh.data_axis
+        prefix = "lrp_scst" if use_lrp else "scst"
+        ro_fn = (self.lrp_scst_encode_rollout if use_lrp
+                 else self.scst_encode_rollout)
+        upd_fn = self.lrp_scst_update if use_lrp else self.scst_update
+        if isinstance(batch.images, jax.Array):
+            images = batch.images
+        elif multihost:
+            images = global_batch_from_local(
+                self.mesh, host_shard(self._upload_images(batch.images)), axis)
+        else:
+            images = jax.device_put(
+                jnp.asarray(self._upload_images(batch.images)), bs)
+        if multihost:
+            rep = replicated(self.mesh)
+            ro = self._jit(prefix + "_encode_rollout_mh", ro_fn,
+                           static_argnums=(2,),
+                           out_shardings=(bs, bs, rep, rep))
+        else:
+            ro = self._jit(prefix + "_encode_rollout", ro_fn,
+                           static_argnums=(2,))
         raw, avg, greedy_toks, sampled_toks = ro(state, images, num_steps, rng)
         reward = get_self_critical_reward(
             np.asarray(greedy_toks), batch.all_captions, np.asarray(sampled_toks),
@@ -342,11 +385,20 @@ class Trainer:
             cider_reward_weight=self.tcfg.cider_reward_weight,
             bleu_reward_weight=self.tcfg.bleu_reward_weight,
         )
-        upd = self._jit("scst_update", self.scst_update)
-        caps = (jax.device_put(jnp.asarray(batch.captions), bs)
-                if self.tcfg.scst_ce_weight > 0.0 else None)
+        upd = self._jit(prefix + "_update", upd_fn)
+        want_caps = self.tcfg.scst_ce_weight > 0.0
+        if multihost:
+            reward_d = global_batch_from_local(self.mesh, host_shard(reward),
+                                               axis)
+            caps = (global_batch_from_local(
+                self.mesh, host_shard(np.asarray(batch.captions)), axis)
+                if want_caps else None)
+        else:
+            reward_d = jax.device_put(jnp.asarray(reward), bs)
+            caps = (jax.device_put(jnp.asarray(batch.captions), bs)
+                    if want_caps else None)
         state, loss = upd(state, raw, avg, images, sampled_toks,
-                          jax.device_put(jnp.asarray(reward), bs), caps)
+                          reward_d, caps)
         # loss stays an unmaterialized device ref (float() would add a tunnel
         # round trip per step); reward is host numpy already
         return state, loss, float(reward[:, 0].mean())
@@ -450,25 +502,8 @@ class Trainer:
         return raw, avg, g, s
 
     def lrp_scst_batch(self, state: TrainState, batch, rng, num_steps: int):
-        bs = batch_sharding(self.mesh, self.exp.mesh)
-        images = (batch.images if isinstance(batch.images, jax.Array)
-                  else jax.device_put(
-                      jnp.asarray(self._upload_images(batch.images)), bs))
-        ro = self._jit("lrp_scst_encode_rollout", self.lrp_scst_encode_rollout,
-                       static_argnums=(2,))
-        raw, avg, greedy_toks, sampled_toks = ro(state, images, num_steps, rng)
-        reward = get_self_critical_reward(
-            np.asarray(greedy_toks), batch.all_captions, np.asarray(sampled_toks),
-            self.word_map,
-            cider_reward_weight=self.tcfg.cider_reward_weight,
-            bleu_reward_weight=self.tcfg.bleu_reward_weight,
-        )
-        upd = self._jit("lrp_scst_update", self.lrp_scst_update)
-        caps = (jax.device_put(jnp.asarray(batch.captions), bs)
-                if self.tcfg.scst_ce_weight > 0.0 else None)
-        state, loss = upd(state, raw, avg, images, sampled_toks,
-                          jax.device_put(jnp.asarray(reward), bs), caps)
-        return state, loss, float(reward[:, 0].mean())
+        return self._scst_batch_impl(state, batch, rng, num_steps,
+                                     use_lrp=True)
 
     # -- epoch loops ----------------------------------------------------
     def train_epoch_xe(self, state: TrainState, ds: CaptionDataset, epoch: int,
@@ -499,10 +534,24 @@ class Trainer:
             w = np.asarray(ns)
             return float(np.average(v, weights=w)), float(np.average(a, weights=w))
 
+        multihost = jax.process_count() > 1
+
         def upload(batch):
             # runs in the prefetch thread: host->device upload overlaps the
-            # consumer's step dispatch
-            return (jax.device_put(jnp.asarray(self._upload_images(batch.images)), bs),
+            # consumer's step dispatch.  Multi-host input model: every
+            # process iterates the IDENTICAL seeded dataset order and keeps
+            # its contiguous row slice (host_shard), assembled into one
+            # global dp-sharded array (SURVEY §2.2 recipe; pinned equal to
+            # the single-process step by tests/test_distributed.py).
+            imgs = self._upload_images(batch.images)
+            if multihost:
+                g = global_batch_from_local(
+                    self.mesh,
+                    host_shard({"images": imgs, "captions": batch.captions}),
+                    self.exp.mesh.data_axis)
+                return (g["images"], g["captions"],
+                        float(batch.caption_lengths.sum()))
+            return (jax.device_put(jnp.asarray(imgs), bs),
                     jax.device_put(jnp.asarray(batch.captions), bs),
                     float(batch.caption_lengths.sum()))
 
@@ -538,16 +587,26 @@ class Trainer:
 
         bs = batch_sharding(self.mesh, self.exp.mesh)
 
+        multihost = jax.process_count() > 1
+
         def upload(batch):
             # producer-thread host->device image upload overlaps the consumer
             # step (same double buffering as the teacher-forced loop; the
             # SCST semantics are untouched — rollout N+1 still runs on the
             # params produced by update N); placed with the data-parallel
-            # sharding so the step splits rows over the mesh
+            # sharding so the step splits rows over the mesh.  Multi-host:
+            # every process sees the identical batch, uploads only its
+            # host_shard rows; captions/all_captions stay host-global for
+            # the global-corpus reward (_scst_batch_impl).
             import dataclasses as _dc
 
-            return _dc.replace(batch, images=jax.device_put(
-                jnp.asarray(self._upload_images(batch.images)), bs))
+            imgs = self._upload_images(batch.images)
+            if multihost:
+                img_d = global_batch_from_local(
+                    self.mesh, host_shard(imgs), self.exp.mesh.data_axis)
+            else:
+                img_d = jax.device_put(jnp.asarray(imgs), bs)
+            return _dc.replace(batch, images=img_d)
 
         for i, batch in enumerate(ds.train_batches_prefetched(
                 self.tcfg.batch_size, transform=upload,
@@ -601,10 +660,16 @@ class Trainer:
 
         fn = self._jit("val_decode", decode_batch)
         # dispatch every batch first, keep device refs; ONE stacked transfer
-        # at the end (a per-batch np.asarray costs a tunnel round trip each)
+        # at the end (a per-batch np.asarray costs a tunnel round trip each).
+        # Multi-host: eval images are replicated from identical per-process
+        # host data (device_put can't target non-addressable devices), so
+        # every process decodes the full split and computes the same scores.
+        multihost = jax.process_count() > 1
         pend = []
         for eb in ds.eval_batches(eval_batch):
-            res = fn(state.params, jnp.asarray(eb.images))
+            imgs = (replicate_global(self.mesh, eb.images) if multihost
+                    else jnp.asarray(eb.images))
+            res = fn(state.params, imgs)
             pend.append((res, eb))
         if pend:
             all_toks = np.asarray(jnp.stack([r.tokens for r, _ in pend]))

@@ -94,6 +94,15 @@ def _pool3x3s2_first_winner_masks(x: jax.Array, y: jax.Array) -> jax.Array:
     pure elementwise, replacing a per-word SelectAndScatter custom-call
     that measured 2.04 ms/img for 16 words on v5e (HALF the whole resnet
     explain program)."""
+    # even-size precondition: the fast backward reconstructs (1,2Ho,2Wo,C),
+    # which equals the pool-input shape only for even H/W (maxpool3x3/s2/p1
+    # on odd inputs gives Ho=(H+1)/2 and the rebuilt map would be one
+    # row/col too large, silently mis-shaping the opt-in fast walk)
+    if x.shape[1] != 2 * y.shape[1] or x.shape[2] != 2 * y.shape[2]:
+        raise ValueError(
+            f"pool_mode='fast' requires an even-sized pool input "
+            f"(got input {x.shape[1]}x{x.shape[2]}, pooled "
+            f"{y.shape[1]}x{y.shape[2]}); use the default vjp pool mode")
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
                  constant_values=-jnp.inf)
     ho, wo, c = y.shape[1], y.shape[2], y.shape[3]

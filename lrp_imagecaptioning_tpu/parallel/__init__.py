@@ -10,4 +10,5 @@ from .distributed import (
     global_batch_from_local,
     host_shard,
     initialize,
+    replicate_global,
 )

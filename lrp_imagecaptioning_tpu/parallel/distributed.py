@@ -51,6 +51,25 @@ def make_global_batch_sharding(mesh: Mesh, data_axis: str = "data"):
     return NamedSharding(mesh, P(data_axis))
 
 
+def replicate_global(mesh: Mesh, x):
+    """Fully-replicated global array from identical per-process host data.
+
+    Multi-host ``device_put`` can't target non-addressable devices; the
+    replicated layout is assembled per-process instead (every host must hold
+    the same values — the every-host-reads-everything input model used by the
+    epoch loops).  Single-process this is a plain replicated device_put."""
+    sharding = NamedSharding(mesh, P())
+
+    def build(a):
+        a = np.asarray(a)
+        if jax.process_count() == 1:
+            return jax.device_put(a, sharding)
+        return jax.make_array_from_callback(a.shape, sharding,
+                                            lambda idx: a[idx])
+
+    return jax.tree_util.tree_map(build, x)
+
+
 def global_batch_from_local(mesh: Mesh, local_batch, data_axis: str = "data"):
     """Assemble a global sharded array from per-process local data
     (multi-host input pipeline; single-process this is just device_put)."""

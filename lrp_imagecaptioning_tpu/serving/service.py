@@ -246,6 +246,13 @@ class ExplainService(_ServiceBase):
         self.packed_transfer = (payload == "summary" and mesh is None
                                 if packed_transfer is None
                                 else bool(packed_transfer))
+        if self.packed_transfer and payload != "summary":
+            # mirror the mesh guard: an explicit request that can't take
+            # effect is an error, not a silent no-op (full payloads ship
+            # the (B,T,H,W,3) maps — there is no packed form to build)
+            raise ValueError("packed_transfer requires payload='summary' "
+                             "(full payloads have no packed single-transfer "
+                             "form)")
         if self.packed_transfer and mesh is not None:
             raise ValueError("packed_transfer is single-device only (the "
                              "sharded summary core shards the batch axis)")

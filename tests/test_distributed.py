@@ -58,13 +58,30 @@ def test_host_shard_then_global_matches_direct(eight_devices):
     np.testing.assert_array_equal(np.asarray(arr), np.asarray(direct))
 
 
+def _free_port() -> str:
+    """Bind an ephemeral port and return it (advisor r4: pid-derived ports
+    can collide with in-use listeners and fail the test spuriously)."""
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("localhost", 0))
+        return str(s.getsockname()[1])
+
+
 def test_two_real_processes_match_single_process(tmp_path):
     """THE multi-host proof: two actual OS processes join one JAX runtime
-    (local coordinator, gloo CPU collectives, 4 virtual devices each), feed
-    per-process host rows through host_shard + global_batch_from_local
-    (executing its process_count>1 / make_array_from_process_local_data
-    branch), run one psum XE step over the global dp8 mesh, and agree with
-    the single-process 8-device result bit-for-bit at f32 tolerance."""
+    (local coordinator, gloo CPU collectives, 4 virtual devices each) and run
+    THREE phases over the global dp8 mesh, each pinned to the single-process
+    8-device result:
+
+    1. one psum XE step (host_shard + global_batch_from_local input recipe),
+    2. a real two-epoch ``Trainer.fit`` — epoch loop, beam validate and
+       per-epoch Orbax checkpoint saves under 2 processes; the parent then
+       RESTORES the 2-process checkpoint single-process and continues
+       training on it,
+    3. one SCST batch through the global-corpus reward path (rollout tokens
+       replicated so per-process rewards use the reference's per-batch
+       2B-item idf corpus, modelutils.py:216-223)."""
     import json
     import os
     import subprocess
@@ -76,12 +93,13 @@ def test_two_real_processes_match_single_process(tmp_path):
         ExperimentConfig, MeshConfig, ModelConfig, TrainConfig,
     )
     from lrp_imagecaptioning_tpu.data import toy_dataset
+    from lrp_imagecaptioning_tpu.engine.checkpoint import restore_checkpoint
     from lrp_imagecaptioning_tpu.engine.train import Trainer
     from lrp_imagecaptioning_tpu.parallel import batch_sharding
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "_multihost_worker.py")
-    port = str(15000 + os.getpid() % 10000)
+    port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own 4-device split
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
@@ -91,13 +109,14 @@ def test_two_real_processes_match_single_process(tmp_path):
         out = tmp_path / f"worker{pid}.json"
         outs.append(out)
         procs.append(subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", port, str(out)],
+            [sys.executable, worker, str(pid), "2", port, str(out),
+             str(tmp_path)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, cwd=repo))
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=420)
+            stdout, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -111,10 +130,11 @@ def test_two_real_processes_match_single_process(tmp_path):
     # both processes read identical replicated outputs
     assert results[0]["loss"] == results[1]["loss"]
     assert results[0]["fc_sum"] == results[1]["fc_sum"]
+    assert results[0]["scst_reward"] == results[1]["scst_reward"]
+    assert results[0]["fit_fc_sum"] == results[1]["fit_fc_sum"]
 
-    # single-process reference on THIS process's 8 in-process devices:
-    # identical config/seed/batch
-    train_ds, _, wm = toy_dataset(
+    # ---- single-process references on THIS process's 8 in-process devices
+    train_ds, val_ds, wm = toy_dataset(
         num_images=8, captions_per_image=2, max_len=10,
         from_features=True, num_regions=8, feat_dim=12, seed=3,
     )
@@ -142,3 +162,65 @@ def test_two_real_processes_match_single_process(tmp_path):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(results[0]["fc_abs_sum"],
                                float(np.abs(fc).sum()), rtol=1e-5)
+
+    # ---- phase 2 reference: identical fit single-process ----------------
+    fit_ds, fit_val, _ = toy_dataset(
+        num_images=8, captions_per_image=2, max_len=10,
+        from_features=True, num_regions=8, feat_dim=12, seed=3,
+    )
+    fit_exp = ExperimentConfig(
+        model=model, train=TrainConfig(batch_size=8, epochs=2,
+                                       print_freq=1000),
+        mesh=mesh_cfg)
+    fit_trainer = Trainer(fit_exp, wm)
+    fit_state, history = fit_trainer.fit(fit_ds, fit_val)
+    fit_fc = np.asarray(fit_state.params.decoder.fc.weight)
+    assert len(results[0]["fit_history"]) == len(history) == 2
+    for got, want in zip(results[0]["fit_history"], history):
+        np.testing.assert_allclose(got["loss"], want["loss"], rtol=1e-5)
+        # beam decode is argmax-discrete: sharded == single must pick the
+        # SAME captions, so the metric values match exactly
+        assert got["cider"] == want["cider"], (got, want)
+        assert got["bleu4"] == want["bleu4"], (got, want)
+    np.testing.assert_allclose(results[0]["fit_fc_sum"], float(fit_fc.sum()),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(results[0]["fit_fc_abs_sum"],
+                               float(np.abs(fit_fc).sum()), rtol=1e-5)
+
+    # ---- restore the 2-process checkpoint single-process and continue ---
+    last = results[0]["fit_history"][-1]
+    ckpt = os.path.join(
+        str(tmp_path), "ckpts", "bu", "flickr30k",
+        f"checkpoint_flickr30k_epoch1_cider_{last['cider']:.4f}")
+    assert os.path.isdir(ckpt), os.listdir(os.path.dirname(ckpt))
+    template = fit_trainer.init_state(jax.random.PRNGKey(1))
+    restored, _meta = restore_checkpoint(ckpt, template)
+    rfc = np.asarray(restored.params.decoder.fc.weight)
+    # the restored params ARE the 2-process post-fit params
+    np.testing.assert_allclose(float(rfc.sum()), results[0]["fit_fc_sum"],
+                               rtol=1e-6)
+    # ...and training continues from them single-process
+    restored, loss2, _ = fit_trainer.compiled_xe_step()(
+        restored, jax.device_put(jnp.asarray(batch.images), bs),
+        jax.device_put(jnp.asarray(batch.captions), bs),
+        jax.random.PRNGKey(8))
+    assert np.isfinite(float(loss2))
+
+    # ---- phase 3 reference: identical SCST batch single-process ---------
+    scst_exp = ExperimentConfig(
+        model=model, train=TrainConfig(batch_size=8, cider_tune=True,
+                                       max_caption_len=10),
+        mesh=mesh_cfg)
+    scst_trainer = Trainer(scst_exp, wm)
+    scst_state = scst_trainer.init_state(jax.random.PRNGKey(0))
+    scst_state, scst_loss, scst_rew = scst_trainer.scst_batch(
+        scst_state, batch, jax.random.PRNGKey(11), 9)
+    scst_fc = np.asarray(scst_state.params.decoder.fc.weight)
+    # global-corpus reward == single-process reward (identical rollout
+    # tokens -> identical host CIDEr over the same 2B-item corpus)
+    np.testing.assert_allclose(results[0]["scst_reward"], scst_rew,
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(results[0]["scst_loss"], float(scst_loss),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(results[0]["scst_fc_sum"],
+                               float(scst_fc.sum()), rtol=1e-5, atol=1e-6)
