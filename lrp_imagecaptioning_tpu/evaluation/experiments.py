@@ -345,6 +345,7 @@ class ExplanationEvaluator:
                      if int(t) not in specials}
 
         tp, fp, tp_beta, fp_beta = [], [], [], []
+        tp_att, fp_att = [], []
         for t, word_str in enumerate(exp.caption):
             if word_str not in frequent_list:
                 continue
@@ -366,20 +367,46 @@ class ExplanationEvaluator:
                 "quantile": [str(q) for q in np.quantile(rel, QUANTILES)],
             }
             beta_stat = {"word": word_str, "1-beta": str(1 - float(exp.betas[t]))}
+            att_stat = None
+            if do_attention:
+                # raw (unnormalized) pyramid-expanded attention stats — the
+                # reference records mean/max/quantile of the expanded alpha
+                # map itself for its attention-vs-relevance AUC comparison
+                # (tpfp_experiment, evaluation.py:484-494,516-531)
+                alpha = exp.alphas[t]
+                if alpha.ndim == 2:  # multi-head: mean over heads
+                    alpha = alpha.mean(axis=0)
+                size = int(np.sqrt(alpha.shape[0]))
+                att = upscale_attention(alpha, (size, size),
+                                        upscale=height // size)
+                att_stat = {
+                    "word": word_str,
+                    "mean": str(float(att.mean())),
+                    "max": str(float(att.max())),
+                    "quantile": [str(q) for q in np.quantile(att, QUANTILES)],
+                }
             if int(exp.tokens[t + 1]) in ref_vocab:
                 tp.append(stats)
                 tp_beta.append(beta_stat)
+                if att_stat is not None:
+                    tp_att.append(att_stat)
             else:
                 fp.append(stats)
                 fp_beta.append(beta_stat)
+                if att_stat is not None:
+                    fp_att.append(att_stat)
         name = os.path.basename(item["image_path"])
         os.makedirs(save_path, exist_ok=True)
-        for tag, payload in [
+        outputs = [
             (f"{explanation_type}_TP_statistics", tp),
             (f"{explanation_type}_FP_statistics", fp),
             ("beta_TP_statistics", tp_beta),
             ("beta_FP_statistics", fp_beta),
-        ]:
+        ]
+        if do_attention:
+            outputs += [("attention_TP_statistics", tp_att),
+                        ("attention_FP_statistics", fp_att)]
+        for tag, payload in outputs:
             with open(os.path.join(save_path, f"{name}_{tag}.json"), "w") as f:
                 json.dump(payload, f)
         return tp, fp
