@@ -71,6 +71,10 @@ def main():
                          "cnn_lrp.make_vgg_lrp_backward conv1_merge): '' = "
                          "auto (ON on the compact/TPU path), '0' forces the "
                          "two-conv pre-merge form for A/B, '1' forces on")
+    ap.add_argument("--block5", default="",
+                    help="weight-resident fused block-5 Pallas kernel "
+                         "(ops/pallas_block5.py; explainer pallas_block5): "
+                         "'' = auto-default, '1' on, '0' off for A/B")
     ap.add_argument("--s2d", default="",
                     help="space-to-depth block-1 walk: '0' off, '1'/'phase' "
                          "four 2x2 phase convs, 'dense' one 3x3 256-ch "
@@ -160,6 +164,8 @@ def main():
         ex_kw["cnn_deep_all_words"] = True
     if args.conv1_merge:
         ex_kw["cnn_conv1_merge"] = args.conv1_merge == "1"
+    if args.block5:
+        ex_kw["pallas_block5"] = args.block5 == "1"
     if args.wdtype:
         ex_kw["cnn_w_dtype"] = args.wdtype
     if args.s2d:

@@ -61,6 +61,7 @@ class GridTDExplainerBase:
         language_double_bias_i: bool | None = None,
         cnn_word_chunk: int = 8,
         pallas_block1: bool | None = None,
+        pallas_block5: bool | None = None,
         block1_dot_mode: str = "bf16",
         cnn_r_dtype: str | None = None,
         cnn_w_dtype: str | None = None,
@@ -88,6 +89,13 @@ class GridTDExplainerBase:
         # "bf16x3" is MORE accurate than the XLA path).
         self.pallas_block1 = (False if pallas_block1 is None
                               else pallas_block1)
+        # weight-resident fused block-5 Pallas kernel for the LRP walk's
+        # WEIGHT-bound top (ops/pallas_block5.py): word loop in-kernel, the
+        # three conv5 kernels pinned in VMEM across all words (the roofline
+        # puts 28.3 MB/word of weight reads there — 75.6% of the stage's
+        # HBM traffic; the inverse of pallas_block1's map-pinning).
+        # None = auto (resolved after in-situ A/B; see _use_block5_kernel).
+        self.pallas_block5 = pallas_block5
         self.block1_dot_mode = block1_dot_mode
         # storage dtype for per-word relevance maps between CNN-walk layers
         # (arithmetic stays f32).  None = auto: bfloat16 on TPU backends
@@ -127,6 +135,13 @@ class GridTDExplainerBase:
         # streams weights per batch tile), and the wider deep vmap breaks
         # the chunk-level fusion the production form enjoys.
         self.cnn_deep_all_words = bool(cnn_deep_all_words)
+        if self.pallas_block5 and (self.pallas_block1
+                                   or cnn_deep_all_words):
+            raise ValueError(
+                "pallas_block5 composes with neither pallas_block1 (the "
+                "block-1 kernel path maps words through the upper walk "
+                "directly) nor cnn_deep_all_words (a conflicting deep "
+                "split). Enable at most one.")
         if self.cnn_deep_all_words and self.pallas_block1:
             # _upper_cnn_stage would silently drop the deep split (it maps
             # words through the upper walk directly), so an A/B combining
@@ -286,10 +301,47 @@ class GridTDExplainerBase:
             return out.reshape(T, *out.shape[2:])
         return jax.vmap(fn)(seeds)
 
-    def _map_words_lrp(self, backward, seeds):
+    def _use_block5_kernel(self) -> bool:
+        if self.EX_TYPE != "lrp" or self.cap.cfg.is_bu:
+            return False
+        if self.cap.cfg.encoder != "vgg16":
+            return False
+        if self.pallas_block5 is None:
+            return False  # auto-default pending in-situ A/B on v5e
+        return bool(self.pallas_block5)
+
+    def _map_words_lrp(self, backward, seeds, params=None):
         """LRP-walk word mapping with the optional two-level split
         (``cnn_deep_all_words``): blocks 5-4 for ALL words in one vmap,
         then the shallow blocks through the normal chunked path."""
+        if params is not None and self._use_block5_kernel():
+            from ..models.encoders import VGG16_SPEC
+            from ..ops.pallas_block5 import block5_lrp_backward, prep_weight
+
+            pools = [i for i, l in enumerate(VGG16_SPEC)
+                     if l.kind == "maxpool"]
+            split = pools[3] + 1  # first record of block 5 (conv5_1)
+            rec = backward.records
+            convs = [i for i in range(split, len(VGG16_SPEC))
+                     if rec[i][0] == "conv"]  # [conv5_1, conv5_2, conv5_3]
+            assert len(convs) == 3, convs
+            w_dtype = self._resolved_w_dtype()
+            r_dtype = self._resolved_r_dtype()
+            ws = [prep_weight(
+                params.encoder.convs[VGG16_SPEC[i].param_idx].weight,
+                w_dtype) for i in convs]
+            i1, i2, i3 = convs
+            deep = block5_lrp_backward(
+                seeds,
+                rec[i3][1][0], rec[i3][2][0],   # conv5_3 x_in, zinv
+                rec[i2][1][0], rec[i2][2][0],   # conv5_2
+                rec[i1][1][0], rec[i1][2][0],   # conv5_1
+                ws[2], ws[1], ws[0],
+                out_dtype=r_dtype, r_dtype=r_dtype,
+                dot_mode=("f32" if w_dtype == jnp.float32 else "bf16"),
+            )
+            return self._map_words(
+                lambda r: backward(r[None], up_from=split)[0], deep)
         if (self.cnn_deep_all_words and not self.cap.cfg.is_bu
                 and self.cap.cfg.encoder == "vgg16"):
             from ..models.encoders import VGG16_SPEC
@@ -639,7 +691,8 @@ class GridTDLrpExplainer(GridTDExplainerBase):
 
     def _cnn_stage(self, params, image, word_exp):
         backward = self._lrp_backward_factory(params, image)
-        return self._map_words_lrp(backward, self._grid_seeds(word_exp))
+        return self._map_words_lrp(backward, self._grid_seeds(word_exp),
+                                   params=params)
 
 
 class AOALrpExplainer(GridTDExplainerBase):
@@ -681,7 +734,8 @@ class AOALrpExplainer(GridTDExplainerBase):
 
     def _cnn_stage(self, params, image, word_exp):
         backward = self._lrp_backward_factory(params, image)
-        return self._map_words_lrp(backward, self._grid_seeds(word_exp))
+        return self._map_words_lrp(backward, self._grid_seeds(word_exp),
+                                   params=params)
 
 
 class AOAAllHeadsLrpExplainer(AOALrpExplainer):
@@ -865,7 +919,8 @@ class AdaptiveLrpExplainer(GridTDExplainerBase):
 
     def _cnn_stage(self, params, image, word_exp):
         backward = self._lrp_backward_factory(params, image)
-        return self._map_words_lrp(backward, self._grid_seeds(word_exp))
+        return self._map_words_lrp(backward, self._grid_seeds(word_exp),
+                                   params=params)
 
 
 class AdaptiveGradientExplainer(AdaptiveLrpExplainer):
