@@ -105,18 +105,25 @@ def create_input_files(
 def _create_from_split_assignment(
     dataset, data, image_folder, captions_per_image, min_word_freq,
     output_folder, max_len, assign_split, *, check_image_files=True, seed=123,
+    freq_all_images=False,
 ) -> WordMap:
-    """Shared artifact generation with an arbitrary image->split assignment."""
+    """Shared artifact generation with an arbitrary image->split assignment.
+
+    ``freq_all_images`` builds the vocabulary from EVERY image's tokens
+    (including images assigned to no split) instead of the train split only
+    — the NOC builder's behavior (preparedataset.py:390-398)."""
     split_paths: dict[str, list] = {"train": [], "val": [], "test": []}
     split_caps: dict[str, list] = {"train": [], "val": [], "test": []}
     freq_source = []
     for img in data["images"]:
         split = assign_split(img)
+        if freq_all_images:
+            freq_source.extend(c["tokens"] for c in img["sentences"])
         if split is None:
             continue
         captions = []
         for c in img["sentences"]:
-            if split == "train":
+            if split == "train" and not freq_all_images:
                 freq_source.append(c["tokens"])
             if len(c["tokens"]) <= max_len:
                 captions.append(c["tokens"])
@@ -186,17 +193,20 @@ def create_input_robust_coco(
     train, val, test = ids("train_id"), ids("val_id"), ids("test_id")
 
     def assign(img):
+        # reference priority: train, then TEST, then val
+        # (preparedataset.py:248-255)
         img_id = img.get("cocoid", img.get("imgid"))
         if img_id in train:
             return "train"
-        if img_id in val:
-            return "val"
         if img_id in test:
             return "test"
+        if img_id in val:
+            return "val"
         return None
 
+    # reference base name: 'cocorobust' (preparedataset.py:295)
     return _create_from_split_assignment(
-        "coco2017_robust", data, image_folder, captions_per_image,
+        "cocorobust", data, image_folder, captions_per_image,
         min_word_freq, output_folder, max_len, assign, **kw,
     )
 
@@ -224,12 +234,14 @@ def create_input_files_noc(
         with open(path) as f:
             return {int(line.strip()) for line in f if line.strip()}
 
-    train = read_ids("coco2014_cocoid.heldout_train.txt")
-    val = read_ids("coco2014_cocoid.heldout_val_val.txt")
-    test = read_ids("coco2014_cocoid.heldout_val_test.txt")
+    # the reference's exact held-out list file names
+    # (preparedataset.py:367-378)
+    train = read_ids("coco2014_cocoid.train.txt")
+    val = read_ids("coco2014_cocoid.val_val.txt")
+    test = read_ids("coco2014_cocoid.val_test.txt")
 
     def assign(img):
-        img_id = img.get("cocoid", img.get("imgid"))
+        img_id = int(img.get("cocoid", img.get("imgid")))
         if img_id in train:
             return "train"
         if img_id in val:
@@ -238,9 +250,13 @@ def create_input_files_noc(
             return "test"
         return None
 
+    # the NOC builder's vocabulary counts EVERY image's tokens (the
+    # reference updates word_freq before checking split membership,
+    # preparedataset.py:390-398) — unlike the train-split-only vocab of
+    # the other builders
     return _create_from_split_assignment(
         dataset, data, image_folder, captions_per_image, min_word_freq,
-        output_folder, max_len, assign, **kw,
+        output_folder, max_len, assign, freq_all_images=True, **kw,
     )
 
 
