@@ -36,6 +36,11 @@ def main():
                     help="bu = bottom-up 36x2048 region features (the "
                          "reference's train_bu path, hidden 1024) — the "
                          "explanation stops at region relevance, no CNN walk")
+    ap.add_argument("--explainer", default="lrp",
+                    choices=["lrp", "lrp_all_heads"],
+                    help="lrp_all_heads (AoA only): explain EVERY attention "
+                         "head in one compiled program per image (the "
+                         "reference re-runs decode+stash+CNN per head)")
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--iters", type=int, default=0)
     ap.add_argument("--max-words", type=int, default=0)
@@ -172,7 +177,9 @@ def main():
         ex_kw["cnn_s2d_block1"] = {
             "0": False, "1": True, "phase": True, "dense": "dense",
         }[args.s2d]
-    explainer = build_explainer("lrp", cap, params, word_map,
+    if args.explainer == "lrp_all_heads" and args.model != "aoa":
+        raise SystemExit("--explainer lrp_all_heads requires --model aoa")
+    explainer = build_explainer(args.explainer, cap, params, word_map,
                                 max_words=max_words, **ex_kw)
 
     def sync(out):
@@ -221,7 +228,10 @@ def main():
     per_sec = timed_run(core, batch)
     target_per_chip = 50.0 / 8.0  # north-star 50/s on v5e-8
     print(json.dumps({
-        "metric": "captions_plus_full_lrp_explanations_per_sec_per_chip",
+        "metric": ("captions_plus_full_lrp_explanations_per_sec_per_chip"
+                   if args.explainer == "lrp" else
+                   "captions_plus_all_heads_lrp_per_sec_per_chip"),
+        "explainer": args.explainer,
         "value": round(per_sec, 3),
         "unit": "images/s",
         "vs_baseline": round(per_sec / target_per_chip, 3),
