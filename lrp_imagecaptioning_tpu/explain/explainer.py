@@ -90,11 +90,17 @@ class GridTDExplainerBase:
         self.pallas_block1 = (False if pallas_block1 is None
                               else pallas_block1)
         # weight-resident fused block-5 Pallas kernel for the LRP walk's
-        # WEIGHT-bound top (ops/pallas_block5.py): word loop in-kernel, the
-        # three conv5 kernels pinned in VMEM across all words (the roofline
-        # puts 28.3 MB/word of weight reads there — 75.6% of the stage's
-        # HBM traffic; the inverse of pallas_block1's map-pinning).
-        # None = auto (resolved after in-situ A/B; see _use_block5_kernel).
+        # WEIGHT-bound top (ops/pallas_block5.py): word batch in-kernel,
+        # the three conv5 kernels pinned in VMEM (the roofline puts 28.3
+        # MB/word of weight reads there — 75.6% of the stage's HBM
+        # traffic; the inverse of pallas_block1's map-pinning).  Measured
+        # on 1xv5e (iters=20, batch 8 / chunk 8): STANDALONE the kernel
+        # wins 0.83 -> 0.499 ms/img (the weight-traffic hypothesis
+        # confirmed), IN SITU it exactly ties — 139.4 vs 139.3 img/s for
+        # the chunk-embedded form (126.5 for the all-words deep-split
+        # shape) — the stage saving is consumed by the kernel boundary
+        # (seed pad/materialize, fusion break, per-chunk weight loads).
+        # None = auto OFF; docs/PERF_NEGATIVES.md #12 has the full record.
         self.pallas_block5 = pallas_block5
         self.block1_dot_mode = block1_dot_mode
         # storage dtype for per-word relevance maps between CNN-walk layers
@@ -331,17 +337,35 @@ class GridTDExplainerBase:
                 params.encoder.convs[VGG16_SPEC[i].param_idx].weight,
                 w_dtype) for i in convs]
             i1, i2, i3 = convs
-            deep = block5_lrp_backward(
-                seeds,
-                rec[i3][1][0], rec[i3][2][0],   # conv5_3 x_in, zinv
-                rec[i2][1][0], rec[i2][2][0],   # conv5_2
-                rec[i1][1][0], rec[i1][2][0],   # conv5_1
-                ws[2], ws[1], ws[0],
-                out_dtype=r_dtype, r_dtype=r_dtype,
-                dot_mode=("f32" if w_dtype == jnp.float32 else "bf16"),
-            )
-            return self._map_words(
-                lambda r: backward(r[None], up_from=split)[0], deep)
+
+            def deep_fn(seed_chunk):
+                return block5_lrp_backward(
+                    seed_chunk,
+                    rec[i3][1][0], rec[i3][2][0],   # conv5_3 x_in, zinv
+                    rec[i2][1][0], rec[i2][2][0],   # conv5_2
+                    rec[i1][1][0], rec[i1][2][0],   # conv5_1
+                    ws[2], ws[1], ws[0],
+                    out_dtype=r_dtype, r_dtype=r_dtype,
+                    dot_mode=("f32" if w_dtype == jnp.float32 else "bf16"),
+                )
+
+            # the kernel runs INSIDE the word-chunk map so the walk keeps
+            # the production chunk structure (the all-deep-then-chunked
+            # split alone measured a ~3% loss — deep-split negative,
+            # docs/PERF_NEGATIVES.md); weights load once per chunk instead
+            # of once per word
+            def chunk_walk(seed_chunk):
+                deep = deep_fn(seed_chunk)
+                return jax.vmap(
+                    lambda r: backward(r[None], up_from=split)[0])(deep)
+
+            chunk = self.cnn_word_chunk
+            T = seeds.shape[0]
+            if chunk and T > chunk and T % chunk == 0:
+                seeds_r = seeds.reshape(T // chunk, chunk, *seeds.shape[1:])
+                out = jax.lax.map(chunk_walk, seeds_r)
+                return out.reshape(T, *out.shape[2:])
+            return chunk_walk(seeds)
         if (self.cnn_deep_all_words and not self.cap.cfg.is_bu
                 and self.cap.cfg.encoder == "vgg16"):
             from ..models.encoders import VGG16_SPEC

@@ -84,20 +84,30 @@ def _dot(p, wmat, wmat_lo, dot_mode):
     """im2col matmul with f32 accumulation.
 
     bf16: single-pass bf16 operands.  bf16x3: hi/lo split of BOTH operands,
-    three cross terms (hi*hi + hi*lo + lo*hi) — f32-faithful to ~2^-22."""
+    three cross terms (hi*hi + hi*lo + lo*hi) — f32-faithful to ~2^-22.
+
+    Precision is pinned explicitly: an ambient
+    ``jax.default_matmul_precision`` algorithm preset (the explain core
+    sets BF16_BF16_F32_X3) reaches dots with precision=None and Mosaic's
+    dot lowering rejects algorithm presets ('DotAlgorithmPreset is not
+    subscriptable')."""
+    prec = jax.lax.Precision.DEFAULT
     if dot_mode == "f32":
-        return jnp.dot(p, wmat, preferred_element_type=jnp.float32)
+        return jnp.dot(p, wmat, preferred_element_type=jnp.float32,
+                       precision=prec)
     p_hi = p.astype(jnp.bfloat16)
     if dot_mode == "bf16":
         return jnp.dot(p_hi, wmat.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32, precision=prec)
     # bf16x3
     p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     w_hi = wmat.astype(jnp.bfloat16)
-    out = jnp.dot(p_hi, w_hi, preferred_element_type=jnp.float32)
-    out += jnp.dot(p_lo, w_hi, preferred_element_type=jnp.float32)
+    out = jnp.dot(p_hi, w_hi, preferred_element_type=jnp.float32,
+                  precision=prec)
+    out += jnp.dot(p_lo, w_hi, preferred_element_type=jnp.float32,
+                   precision=prec)
     out += jnp.dot(p_hi, wmat_lo.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32, precision=prec)
     return out
 
 

@@ -46,28 +46,40 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_block1 import _dot, _flip_transpose, _pad_cols, _patches, \
-    _use_interpret
+from .pallas_block1 import _dot, _flip_transpose, _use_interpret
 
 
 def _block5_kernel(
-    seeds_ref,  # (B, T, S, S, C) HBM — per-word relevance seeds (r_dtype)
-    x3_ref,     # (B, S, S, C) HBM — conv5_3 input (relu out of 5_2)
-    zi3_ref,    # (B, S, S, C) HBM — 1/stab(z5_3)
-    x2_ref,     # (B, S, S, C) HBM — conv5_2 input
-    zi2_ref,    # (B, S, S, C) HBM — 1/stab(z5_2)
-    x1_ref,     # (B, S, S, C) HBM — conv5_1 input (pool4 out)
-    zi1_ref,    # (B, S, S, C) HBM — 1/stab(z5_1)
+    seeds_ref,  # (B, T, S, Wp, C) HBM — per-word relevance seeds (r_dtype)
+    x3_ref,     # (B, S, Wp, C) HBM — conv5_3 input (relu out of 5_2)
+    zi3_ref,    # (B, S, Wp, C) HBM — 1/stab(z5_3)
+    x2_ref,     # (B, S, Wp, C) HBM — conv5_2 input
+    zi2_ref,    # (B, S, Wp, C) HBM — 1/stab(z5_2)
+    x1_ref,     # (B, S, Wp, C) HBM — conv5_1 input (pool4 out)
+    zi1_ref,    # (B, S, Wp, C) HBM — 1/stab(z5_1)
     w3f_ref,    # (9C, C) VMEM — w5_3+ flipped+transposed (w_dtype)
     w2f_ref,    # (9C, C) VMEM
     w1f_ref,    # (9C, C) VMEM
-    out_ref,    # (B, T, S, S, C) HBM (out_dtype)
+    out_ref,    # (B, T, S, Wp, C) HBM (out_dtype)
     # scratch
     x3_s, zi3_s, x2_s, zi2_s, x1_s, zi1_s, r_s, out_s, shift_s,
     in_sems, r_sems, out_sems,
     *,
-    T: int, S: int, C: int, dot_mode: str, r_store,
+    T: int, S: int, Wp: int, C: int, dot_mode: str, r_store,
 ):
+    """ALL T words are batched into each tap matmul (M = T*(S+2)*Wp rows):
+    the first cut of this kernel looped words in-kernel with per-word
+    (S*S, 9C) x (9C, C) dots — bit-exact on hardware but 1.38 vs XLA's
+    0.83 ms/img, because M=196 fills 1.5 MXU row tiles and the 48
+    dependent dots per image serialize.  Batching the word axis into M is
+    what XLA's vmap enjoys; pinning the weights is what it lacks.
+
+    The maps are processed at the PADDED width Wp: padded columns carry
+    zeros, a SAME conv's edge semantics are preserved (the garbage columns
+    beyond S are killed by the zero-padded x/zi multiplies), and every
+    reshape that merges the word/row axes into M is tile-aligned (Wp is a
+    sublane-tile multiple) — the Mosaic constraint that rejected the
+    true-width form."""
     b = pl.program_id(0)
 
     shared = (
@@ -77,76 +89,48 @@ def _block5_kernel(
         pltpu.make_async_copy(zi2_ref.at[b], zi2_s, in_sems.at[3]),
         pltpu.make_async_copy(x1_ref.at[b], x1_s, in_sems.at[4]),
         pltpu.make_async_copy(zi1_ref.at[b], zi1_s, in_sems.at[5]),
+        pltpu.make_async_copy(seeds_ref.at[b], r_s, r_sems.at[0]),
     )
     for dma in shared:
         dma.start()
-
-    def r_dma(t, slot):
-        return pltpu.make_async_copy(seeds_ref.at[b, t], r_s.at[slot],
-                                     r_sems.at[slot])
-
-    def out_dma(t, slot):
-        return pltpu.make_async_copy(out_s.at[slot], out_ref.at[b, t],
-                                     out_sems.at[slot])
-
-    r_dma(0, 0).start()
     for dma in shared:
         dma.wait()
 
     f32 = jnp.float32
-    w3f = w3f_ref[:]
-    w2f = w2f_ref[:]
-    w1f = w1f_ref[:]
-    x3 = x3_s[:].astype(f32)
-    zi3 = zi3_s[:].astype(f32)
-    x2 = x2_s[:].astype(f32)
-    zi2 = zi2_s[:].astype(f32)
-    x1 = x1_s[:].astype(f32)
-    zi1 = zi1_s[:].astype(f32)
+    taps = ((w3f_ref, x3_s, zi3_s), (w2f_ref, x2_s, zi2_s),
+            (w1f_ref, x1_s, zi1_s))
+    zrow = jnp.zeros((T, 1, Wp, C), f32)
+    shift_dt = shift_s.dtype
 
-    zrow = jnp.zeros((1, S, C), f32)
+    def conv_bwd(s):
+        """(T, S, Wp, C) cotangent -> (T, S, Wp, C) data-grad, 9
+        accumulating tap matmuls with M = T*(S+2)*Wp.  dx (second-minor)
+        shifts go through the scratch store (canonical-layout trick from
+        pallas_block1._patches); dy row slices are layout-free."""
+        sp = jnp.concatenate([zrow, s, zrow], axis=1)  # (T, S+2, Wp, C)
+        spc = jnp.concatenate(
+            [jnp.zeros((T, S + 2, 1, C), f32), sp,
+             jnp.zeros((T, S + 2, 1, C), f32)], axis=2).astype(shift_dt)
+        for dx in range(3):
+            shift_s[dx] = spc[:, :, dx:dx + Wp, :]
+        return [shift_s[dx, :, dy:dy + S, :, :].reshape(T * S * Wp, C)
+                for dy in range(3) for dx in range(3)]
 
-    def conv_bwd(t_map, wf):
-        """convT(t, wf) — 3x3/SAME data-grad as one im2col matmul; the
-        _patches scratch store casts the cotangent to shift_s' dtype
-        (w_dtype), matching _conv_transpose_same's operand rounding."""
-        xp = _pad_cols(jnp.concatenate([zrow, t_map, zrow], axis=0))
-        p = _patches(xp, shift_s, S, S)          # (S*S, 9C)
-        g = _dot(p, wf, None, dot_mode)          # (S*S, C) f32
-        return g.reshape(S, S, C)
+    r = r_s[:].astype(f32)
+    for i, (wf_ref, x_s, zi_s) in enumerate(taps):
+        x = x_s[:].astype(f32)
+        zi = zi_s[:].astype(f32)
+        views = conv_bwd(r * zi)
+        g = _dot(views[0], wf_ref[0:C, :], None, dot_mode)
+        for k in range(1, 9):
+            g += _dot(views[k], wf_ref[k * C:(k + 1) * C, :], None,
+                      dot_mode)
+        r = (x * g.reshape(T, S, Wp, C)).astype(r_store).astype(f32)
 
-    def body(t, _):
-        slot = jax.lax.rem(t, 2)
-
-        @pl.when(t + 1 < T)
-        def _():
-            r_dma(t + 1, 1 - slot).start()
-
-        r_dma(t, slot).wait()
-        r = r_s[slot].astype(f32)
-
-        # conv5_3 backward; inter-layer r rounds through r_store exactly
-        # like the record walk's r_dtype stores
-        r = (x3 * conv_bwd(r * zi3, w3f)).astype(r_store).astype(f32)
-        # conv5_2 backward
-        r = (x2 * conv_bwd(r * zi2, w2f)).astype(r_store).astype(f32)
-        # conv5_1 backward; the record walk stores this layer's output as
-        # r_dtype too before the lower walk upcasts it
-        out = (x1 * conv_bwd(r * zi1, w1f)).astype(r_store).astype(
-            out_s.dtype)
-
-        @pl.when(t >= 2)
-        def _():
-            out_dma(t - 2, slot).wait()
-
-        out_s[slot] = out
-        out_dma(t, slot).start()
-        return ()
-
-    jax.lax.fori_loop(0, T, body, (), unroll=False)
-    if T >= 2:
-        out_dma(T - 2, T % 2).wait()
-    out_dma(T - 1, (T - 1) % 2).wait()
+    out_s[:] = r.astype(out_s.dtype)
+    out = pltpu.make_async_copy(out_s, out_ref.at[b], out_sems.at[0])
+    out.start()
+    out.wait()
 
 
 @functools.partial(
@@ -164,30 +148,47 @@ def _block5_batched(
     # record walk stores r as r_dtype between layers), independent of the
     # seed dtype (seeds arrive f32 from the decoder walk)
     r_store = jnp.dtype(r_dtype)
+    # Mosaic HBM<->VMEM copies need the SUBLANE (second-minor) dim aligned
+    # to the tiling — 14 is not (the probe failed with "slice shape along
+    # dimension 2 must be aligned to tiling (8)").  Pad the W axis to the
+    # bf16 tile (16, also a multiple of the f32 tile) host-side, DMA full
+    # padded maps, and slice at VALUE level in-kernel.
+    Wp = -(-S // 16) * 16
+
+    def pad_w(a):
+        if Wp == S:
+            return a
+        return jnp.pad(a, ((0, 0),) * (a.ndim - 2) + ((0, Wp - S), (0, 0)))
+
+    seeds = pad_w(seeds)
+    x3, zi3, x2, zi2, x1, zi1 = (pad_w(a)
+                                 for a in (x3, zi3, x2, zi2, x1, zi1))
     kernel = functools.partial(
-        _block5_kernel, T=T, S=S, C=C, dot_mode=dot_mode, r_store=r_store)
+        _block5_kernel, T=T, S=S, Wp=Wp, C=C, dot_mode=dot_mode,
+        r_store=r_store)
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    stash_vm = lambda ref: pltpu.VMEM((S, S, C), ref.dtype)
-    return pl.pallas_call(
+    stash_vm = lambda ref: pltpu.VMEM((S, Wp, C), ref.dtype)
+    out = pl.pallas_call(
         kernel,
         grid=(B,),
-        out_shape=jax.ShapeDtypeStruct((B, T, S, S, C), jnp.dtype(out_dtype)),
+        out_shape=jax.ShapeDtypeStruct((B, T, S, Wp, C),
+                                       jnp.dtype(out_dtype)),
         in_specs=[any_spec] * 7 + [vmem_spec] * 3,
         out_specs=any_spec,
         compiler_params=pltpu.CompilerParams(
-            # 3 weight matrices (14.2 MB bf16 / 28.3 f32) + im2col patches
-            vmem_limit_bytes=(100 if w_dtype == jnp.float32 else 64)
-            * 1024 * 1024),
+            # 3 weight matrices (14.2 MB bf16 / 28.3 f32) + the all-T
+            # shift/accumulator buffers (~45 MB at T=16, S=14)
+            vmem_limit_bytes=110 * 1024 * 1024),
         scratch_shapes=[
             stash_vm(x3), stash_vm(zi3), stash_vm(x2), stash_vm(zi2),
             stash_vm(x1), stash_vm(zi1),
-            pltpu.VMEM((2, S, S, C), seeds.dtype),          # r double buffer
-            pltpu.VMEM((2, S, S, C), jnp.dtype(out_dtype)),  # out dbl buffer
-            pltpu.VMEM((3, S + 2, S, C), shift_dtype),       # patches shifts
+            pltpu.VMEM((T, S, Wp, C), seeds.dtype),           # all-T seeds
+            pltpu.VMEM((T, S, Wp, C), jnp.dtype(out_dtype)),  # all-T out
+            pltpu.VMEM((3, T, S + 2, Wp, C), shift_dtype),    # dx shifts
             pltpu.SemaphoreType.DMA((6,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * T * 3 * S * S * 9 * C * C,
@@ -197,6 +198,7 @@ def _block5_batched(
         ),
         interpret=_use_interpret() if interpret is None else interpret,
     )(seeds, x3, zi3, x2, zi2, x1, zi1, w3f, w2f, w1f)
+    return out[..., :S, :]
 
 
 @functools.lru_cache(maxsize=8)
