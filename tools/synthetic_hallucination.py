@@ -405,6 +405,9 @@ def main(argv=None):
                         "pixels (evidence-free prior — the regime the "
                         "reference's weighting targets)")
     p.add_argument("--num-phantoms", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0,
+                   help="corpus + training seed (replicate cells of the "
+                        "phase sweep under a different draw)")
     p.add_argument("--inject-p", type=float, default=0.75)
     p.add_argument("--save-params", default="",
                    help="directory to save params-only Orbax checkpoints "
@@ -442,13 +445,14 @@ def main(argv=None):
             word_map, num_train=args.train_images, num_val=args.val_images,
             num_per_pair=args.halluc_per_pair, height=args.height,
             num_objects=args.num_objects, num_pairs=args.num_pairs,
-            faint=args.faint, bias_frac=args.bias_frac)
+            faint=args.faint, bias_frac=args.bias_frac, seed=args.seed)
         classify = None
     else:
         train_ds, val_ds, groups = build_annotation_corpus(
             word_map, num_train=args.train_images, num_val=args.val_images,
             height=args.height, num_objects=args.num_objects,
-            num_phantoms=args.num_phantoms, inject_p=args.inject_p)
+            num_phantoms=args.num_phantoms, inject_p=args.inject_p,
+            seed=args.seed)
         halluc_ds = val_ds  # every clean val image is a hallucination site
         phantoms = set(groups["phantoms"])
 
@@ -472,7 +476,8 @@ def main(argv=None):
     def make_trainer(epochs, finetune_encoder=True, **tkw):
         t = TrainConfig(batch_size=args.batch_size, epochs=epochs,
                         max_caption_len=16, print_freq=100,
-                        finetune_encoder=finetune_encoder, **tkw)
+                        finetune_encoder=finetune_encoder, seed=args.seed,
+                        **tkw)
         return Trainer(ExperimentConfig(model=model, train=t,
                                         mesh=MeshConfig()), word_map)
 
