@@ -109,6 +109,35 @@ def test_explainer_block5_kernel_parity():
     np.testing.assert_array_equal(out1.relevance_words, out0.relevance_words)
 
 
+def test_block5_kernel_under_sharded_core(eight_devices):
+    """shard_map (batched_core_sharded) composes with the custom_vmap'd
+    kernel: the per-shard vmap lowers the image axis onto the kernel grid
+    inside each shard; outputs match the plain sharded walk."""
+    from lrp_imagecaptioning_tpu.config import MeshConfig, ModelConfig
+    from lrp_imagecaptioning_tpu.data.vocab import build_word_map
+    from lrp_imagecaptioning_tpu.explain import build_explainer
+    from lrp_imagecaptioning_tpu.models.captioner import Captioner
+    from lrp_imagecaptioning_tpu.parallel import build_mesh
+
+    wm = build_word_map([[f"w{i}" for i in range(12)]], min_word_freq=1)
+    cfg = ModelConfig(model_type="gridtd", encoder="vgg16", embed_dim=16,
+                      hidden_dim=24, vocab_size=len(wm), num_pixels=16)
+    cap = Captioner(cfg)
+    params = cap.init(jax.random.PRNGKey(1))
+    img = np.random.default_rng(0).normal(
+        size=(8, 64, 64, 3)).astype(np.float32)
+    mesh = build_mesh(MeshConfig(data_parallel=8, model_parallel=1),
+                      eight_devices)
+    fast = build_explainer("lrp", cap, params, wm, max_words=6,
+                           pallas_block5=True)
+    out = fast.batched_core_sharded(mesh)(params, img)
+    base = build_explainer("lrp", cap, params, wm, max_words=6)
+    out0 = base.batched_core_sharded(mesh)(params, img)
+    np.testing.assert_allclose(
+        np.asarray(out[2], np.float32), np.asarray(out0[2], np.float32),
+        rtol=1e-4, atol=1e-6)
+
+
 def test_block5_flag_conflicts():
     from lrp_imagecaptioning_tpu.config import ModelConfig
     from lrp_imagecaptioning_tpu.data.vocab import build_word_map
