@@ -8,10 +8,19 @@ for every explained word, because XLA streams conv weights per batch tile
 regardless of how the word axis is batched (the deep-split negative,
 docs/PERF_NEGATIVES.md).  Every prior kernel/XLA attack (pallas_block1,
 tap-GEMM, s2d, deep-split) targeted the map-bound bottom of the walk; this
-kernel is the inverse of ``ops/pallas_block1.py``: the WORD LOOP runs
-in-kernel and the three flipped conv kernels stay pinned in VMEM (bf16,
-3 x 4.7 MB) across all T words, so weights read from HBM once per image
-instead of T times.
+kernel is the inverse of ``ops/pallas_block1.py``: the WORD BATCH is
+processed in-kernel (all T words folded into each tap matmul's M axis —
+see the kernel docstring for why the first-cut per-word loop lost) and the
+three flipped conv kernels stay pinned in VMEM (bf16, 3 x 4.7 MB), so
+weights read from HBM once per (image, chunk) instead of once per word.
+
+MEASURED VERDICT (1xv5e, iters=20, production operating point): standalone
+the kernel wins 0.83 -> 0.499 ms/img — the weight-traffic hypothesis is
+CONFIRMED at stage level — but in situ the chunk-embedded integration ties
+exactly (139.4 vs 139.3 img/s) and the all-words form loses 9% (the
+deep-split shape): the boundary (seed pad/materialize, custom_vmap fusion
+break, per-chunk weight loads) consumes the saving on a stage that is
+7.6% of the core.  Default OFF (docs/PERF_NEGATIVES.md #12).
 
 Per word the chain is exactly records[24:30] of
 ``cnn_lrp.make_vgg_lrp_backward`` (reference alpha-beta conv rule,
@@ -117,7 +126,7 @@ def _block5_kernel(
                 for dy in range(3) for dx in range(3)]
 
     r = r_s[:].astype(f32)
-    for i, (wf_ref, x_s, zi_s) in enumerate(taps):
+    for wf_ref, x_s, zi_s in taps:
         x = x_s[:].astype(f32)
         zi = zi_s[:].astype(f32)
         views = conv_bwd(r * zi)
